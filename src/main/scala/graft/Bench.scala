@@ -1,27 +1,65 @@
 package graft
+
+import graft.fixtures.PagesGen
+import graft.pipeline.Ingest
+import graft.store.SnapshotStore
 import org.apache.spark.sql.SparkSession
+
+/** Driver-run benchmark: one JSON line with per-query seconds plus the
+  * KG-ingestion throughput (docs/sec, triples/sec) on a deterministic
+  * generated pages table. SPARK_GRAFT_SF_DIR picks the parquet scale,
+  * SPARK_GRAFT_CPUS the local parallelism, SPARK_GRAFT_BENCH_PAGES the
+  * ingest corpus size.
+  */
 object Bench {
+  def deleteRecursively(p: java.nio.file.Path): Unit = {
+    import java.nio.file.Files
+    if (Files.exists(p)) {
+      Files.walk(p).sorted(java.util.Comparator.reverseOrder())
+        .forEach(f => Files.deleteIfExists(f))
+    }
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val nPages = sys.env.getOrElse("SPARK_GRAFT_BENCH_PAGES", "20000").toLong
+    implicit val spark: SparkSession = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.skewJoin.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.icu.caseMappings.enabled", "false")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+
+    // --- KG ingestion throughput on generated pages (fresh warehouse) ---
+    val wh = s"/tmp/graft-bench-wh-$cpus"
+    deleteRecursively(java.nio.file.Paths.get(wh))
+    val store = new SnapshotStore(wh)
+    val t0 = System.nanoTime()
+    Ingest.run(PagesGen.pages(spark, nPages), store, Ingest.Config(),
+      knownPartitions = Some(PagesGen.dayStrings(4)))
+    val kgWall = (System.nanoTime() - t0) / 1e9
+    val kgDocs = store.read("pages_text").count()
+    val kgTriples = Ingest.triplesOf(store.read("extractions")).count()
+
+    // --- per-query timings over the sf tables ---
+    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      val q0 = System.nanoTime()
+      try { fn(spark, sfDir).count() } catch { case _: Throwable => () }
+      name -> (System.nanoTime() - q0) / 1e9
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val total = results.map(_._2).sum + kgWall
+    println(
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"""" +
+        s""","kg_pages":$nPages,"kg_docs":$kgDocs,"kg_triples":$kgTriples""" +
+        f""","kg_wall_sec":$kgWall%.2f,"docs_per_sec":${kgDocs / kgWall}%.1f""" +
+        f""","triples_per_sec":${kgTriples / kgWall}%.1f,"cpus":$cpus}""")
     spark.stop()
   }
 }

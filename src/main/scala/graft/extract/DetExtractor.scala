@@ -194,8 +194,9 @@ object DetExtractor {
       var t = m.tokBegin; while (t < m.tokEnd) { covering(t) = mi; t += 1 }
     }
 
+    // integer thousandths so 0.6+0.075+0.075 lands exactly on 0.75
     def confOf(a: Mention, b: Mention): Double =
-      0.6 + (if (a.confidence >= 0.9) 0.075 else 0.0) + (if (b.confidence >= 0.9) 0.075 else 0.0)
+      (600 + (if (a.confidence >= 0.9) 75 else 0) + (if (b.confidence >= 0.9) 75 else 0)) / 1000.0
 
     // SVO: verb token with a mention ending ≤ SvoGap tokens before it and a
     // mention starting ≤ SvoGap tokens after it
@@ -236,7 +237,8 @@ object DetExtractor {
             val key = (a.name, b.name, "SIMILAR_TO")
             if (!seen.contains(key)) {
               seen += key
-              out += Triple(a.name, "SIMILAR_TO", b.name, confOf(a, b) - 0.1, sentence)
+              out += Triple(a.name, "SIMILAR_TO", b.name,
+                (confOf(a, b) * 1000 - 100).round / 1000.0, sentence)
             }
           case _ => ()
         }

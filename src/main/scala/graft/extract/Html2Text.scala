@@ -20,7 +20,8 @@ import java.util.regex.Pattern
   *   7. entities decoded: named (amp lt gt quot apos nbsp) + numeric &#NN;
   *      and &#xHH;
   *   8. whitespace normalization: per line, collapse [ \t\x0B\f\r]+ → ' ' and
-  *      trim; ≥2 consecutive newlines collapse to exactly 2; final trim.
+  *      trim; empty lines are dropped (any newline run → exactly one '\n');
+  *      final trim.
   *
   * Implemented with precompiled regexes in a fixed order — no parser
   * dependency, no locale sensitivity (Locale.ROOT everywhere).
@@ -92,18 +93,14 @@ object Html2Text {
   private def normalizeWhitespace(s: String): String = {
     val lines = s.split("\n", -1)
     val sb = new java.lang.StringBuilder(s.length)
-    var pendingBlank = false
     var wroteAny = false
     var i = 0
     while (i < lines.length) {
       val line = intraLineWs.matcher(lines(i)).replaceAll(" ").trim
-      if (line.isEmpty) {
-        if (wroteAny) pendingBlank = true
-      } else {
-        if (wroteAny) { sb.append('\n'); if (pendingBlank) sb.append('\n') }
+      if (line.nonEmpty) {
+        if (wroteAny) sb.append('\n')
         sb.append(line)
         wroteAny = true
-        pendingBlank = false
       }
       i += 1
     }

@@ -60,6 +60,29 @@ object PagesGen {
     "Load Balancer" -> "LB"
   )
 
+  // Combinatorial long-tail vocabulary (~1600 distinct surface forms) so
+  // the concept table and linking join behave like a real web corpus
+  // (head entities dominate mention volume, the tail dominates cardinality).
+  private val tailAdjectives = Vector(
+    "Quantum", "Azure", "Crimson", "Nimble", "Stellar", "Granite", "Velvet",
+    "Amber", "Cobalt", "Ivory", "Obsidian", "Scarlet", "Golden", "Silver",
+    "Emerald", "Turquoise", "Magnetic", "Dynamic", "Static", "Parallel",
+    "Serial", "Atomic", "Modular", "Hybrid", "Virtual", "Neural", "Logical",
+    "Optimal", "Primal", "Vector", "Tensor", "Cipher", "Beacon", "Harbor",
+    "Summit", "Canyon", "Meadow", "Willow", "Falcon", "Condor")
+  private val tailNouns = Vector(
+    "Ledger", "Gateway", "Pipeline", "Orchestrator", "Registry", "Fabric",
+    "Mesh", "Router", "Broker", "Daemon", "Kernel", "Compiler", "Parser",
+    "Indexer", "Crawler", "Scheduler", "Allocator", "Monitor", "Profiler",
+    "Debugger", "Archiver", "Notifier", "Resolver", "Validator", "Sampler",
+    "Encoder", "Decoder", "Shard", "Replica", "Snapshot", "Journal",
+    "Manifest", "Catalog", "Vault", "Bridge", "Tunnel", "Relay", "Anchor",
+    "Compass", "Lantern")
+
+  def tailEntity(r1: Long, r2: Long): String =
+    tailAdjectives((r1 % tailAdjectives.length).toInt) + " " +
+      tailNouns((r2 % tailNouns.length).toInt)
+
   // Relation verbs: 3rd-person-singular surface forms whose lemmas map
   // through DetExtractor.verbToRelation (reference verbs verbatim from
   // extractor.py:102-110 + our documented causal extensions).
@@ -80,30 +103,40 @@ object PagesGen {
 
   def allEntities: Vector[String] = headEntities ++ entities
 
-  /** One page's full text, deterministic in (seed, i). */
+  /** Draw an entity surface form: 40% head (skew), 30% core vocabulary,
+    * 30% combinatorial long tail.
+    */
+  private def drawEntity(rng: Rng): String = {
+    val r = rng.nextDouble()
+    if (r < 0.40) headEntities(rng.nextInt(headEntities.length))
+    else if (r < 0.70) entities(rng.nextInt(entities.length))
+    else tailEntity(rng.nextLong() >>> 1, rng.nextLong() >>> 1)
+  }
+
+  /** One page's full text, deterministic in (seed, i). ~25-45 sentences
+    * (~2-4 KB) — the text volume of a real Common-Crawl page, so bench
+    * runs are extraction-compute-bound rather than job-overhead-bound.
+    */
   def pageText(seed: Long, i: Long): String = {
     val rng = new Rng(mix(seed ^ 0x5eedL) ^ mix(i))
-    val nSentences = 4 + rng.nextInt(8)
+    val nSentences = 25 + rng.nextInt(20)
     val sb = new StringBuilder
     var s = 0
     while (s < nSentences) {
-      val useHead = rng.nextDouble() < 0.4
-      val subj =
-        if (useHead) headEntities(rng.nextInt(headEntities.length))
-        else entities(rng.nextInt(entities.length))
+      val subj = drawEntity(rng)
       val kind = rng.nextInt(10)
       if (kind < 6) {
         // SVO sentence: Subject VERB Object + filler clauses
-        var obj = entities(rng.nextInt(entities.length))
-        if (obj == subj) obj = entities((entities.indexOf(obj) + 1) % entities.length)
+        var obj = drawEntity(rng)
+        if (obj == subj) obj = entities(rng.nextInt(entities.length))
         val verb = verbs(rng.nextInt(verbs.length))
         val f1 = fillers(rng.nextInt(fillers.length))
         val f2 = fillers(rng.nextInt(fillers.length))
         sb.append(s"$subj $verb $obj $f1 and stays consistent $f2.\n")
       } else if (kind < 8) {
         // coordination sentence: X and Y
-        var other = entities(rng.nextInt(entities.length))
-        if (other == subj) other = entities((entities.indexOf(other) + 1) % entities.length)
+        var other = drawEntity(rng)
+        if (other == subj) other = entities(rng.nextInt(entities.length))
         val f1 = fillers(rng.nextInt(fillers.length))
         sb.append(s"$subj and $other share operational traits $f1 in production clusters.\n")
       } else if (kind == 8) {
@@ -151,6 +184,14 @@ object PagesGen {
        |<footer>© example corp</footer></body></html>""".stripMargin
   }
 
+  /** Partition values the generator will emit for a given `days` count —
+    * the metadata-listing analog for the generated table.
+    */
+  def dayStrings(days: Int): Seq[String] = {
+    val base = java.time.LocalDate.of(2025, 1, 1)
+    (0 until days).map(d => base.plusDays(d.toLong).toString)
+  }
+
   /** Generate the pages Dataset. `days` spreads warc_ts over a partition
     * dimension; `langSkew` fraction of pages get a non-"en" lang (the
     * pipeline filters them, exercising predicate pushdown).
@@ -165,7 +206,10 @@ object PagesGen {
   ): Dataset[PageRow] = {
     import spark.implicits._
     val baseTs = 1735689600000L // 2025-01-01T00:00:00Z — fixed epoch, no Date.now
-    spark.range(0, n).map { i =>
+    // 4 splits per core: page sizes vary ~2×, so finer tasks avoid stragglers;
+    // values are a pure function of i, so partitioning never affects content
+    val splits = spark.sparkContext.defaultParallelism * 4
+    spark.range(0, n, 1, splits).map { i =>
       val host = hostOf(seed, i, nHosts)
       val day = new Rng(mix(seed ^ 0xda7eL) ^ mix(i)).nextInt(days)
       val text = pageText(seed, i)

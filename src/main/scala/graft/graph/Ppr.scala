@@ -1,0 +1,94 @@
+package graft.graph
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+
+/** Personalized PageRank as iterative DataFrame joins — the query-side
+  * graph algorithm of the reference (G1), distributed.
+  *
+  * Semantics from src/qortex/core/memory.py:231-372 (InMemory power
+  * iteration; the Memgraph variant at backend.py:777-957 pulls the whole
+  * graph client-side and runs the same loop):
+  *   - undirected view: every edge contributes both directions
+  *     (memory.py:316-326 adds the reverse edge)
+  *   - edge weight = confidence; per-step contribution is
+  *     weight / Σ(out-weights of the source) — weighted-degree
+  *     normalization (memory.py:331-339)
+  *   - π(t+1) = d · (Â π) + (1 − d) · personalization, d = 0.85 at call
+  *     sites (adapter.py:514-544), tol 1e-6 on Σ|Δ|, ≤ 100 iterations
+  *   - personalization = normalized seed weights (uniform fallback),
+  *     scores ≤ 1e-8 dropped from the result (memory.py:357-366)
+  *
+  * Dataflow per iteration: ranks ⋈ edges (shuffle on src) →
+  * groupBy(dst).sum → join personalization → convergence check via a
+  * single agg. `localCheckpoint` truncates lineage every iteration.
+  */
+object Ppr {
+
+  /** @param edges  (source_id, target_id, confidence)
+    * @param seeds  (id, weight) — personalization vector (need not sum to 1)
+    */
+  def run(
+      edges: DataFrame,
+      seeds: DataFrame,
+      damping: Double = 0.85,
+      tol: Double = 1e-6,
+      maxIter: Int = 100,
+      minScore: Double = 1e-8
+  )(implicit spark: SparkSession): DataFrame = {
+    // undirected weighted adjacency with per-source normalization
+    val und = edges
+      .select(col("source_id").as("src"), col("target_id").as("dst"),
+        col("confidence").cast("double").as("w"))
+      .union(edges.select(col("target_id").as("src"), col("source_id").as("dst"),
+        col("confidence").cast("double").as("w")))
+    val outW = und.groupBy("src").agg(sum("w").as("wout"))
+    val adj = und.join(outW, Seq("src"))
+      .select(col("src"), col("dst"), (col("w") / col("wout")).as("p"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    adj.count()
+
+    val nodes = adj.select(col("src").as("id")).distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+
+    // normalized personalization over the node set (uniform fallback —
+    // memory.py:304-315)
+    val seedSum = seeds.agg(sum(col("weight"))).collect()(0)
+    val totalSeed = if (seedSum.isNullAt(0)) 0.0 else seedSum.getDouble(0)
+    val pers =
+      if (totalSeed <= 0.0) {
+        val n = nodes.count()
+        nodes.withColumn("pers", lit(1.0 / n))
+      } else {
+        nodes.join(seeds.withColumnRenamed("id", "id"), Seq("id"), "left")
+          .select(col("id"), (coalesce(col("weight"), lit(0.0)) / totalSeed).as("pers"))
+      }
+    val persisted = pers.persist(StorageLevel.MEMORY_AND_DISK)
+    persisted.count()
+
+    var ranks = persisted.select(col("id"), col("pers").as("rank")).localCheckpoint()
+    var iter = 0
+    var delta = Double.MaxValue
+    while (delta > tol && iter < maxIter) {
+      val contrib = adj
+        .join(ranks.withColumnRenamed("id", "src"), Seq("src"))
+        .groupBy(col("dst").as("id"))
+        .agg(sum(col("rank") * col("p")).as("inflow"))
+      val next = persisted
+        .join(contrib, Seq("id"), "left")
+        .select(col("id"),
+          (lit(damping) * coalesce(col("inflow"), lit(0.0)) +
+            lit(1.0 - damping) * col("pers")).as("rank"))
+        .localCheckpoint()
+      delta = next
+        .join(ranks.withColumnRenamed("rank", "prev"), Seq("id"))
+        .agg(sum(abs(col("rank") - col("prev"))))
+        .collect()(0).getDouble(0)
+      ranks = next
+      iter += 1
+    }
+    adj.unpersist(); nodes.unpersist(); persisted.unpersist()
+    ranks.filter(col("rank") > minScore)
+  }
+}

@@ -64,14 +64,16 @@ object Linking {
       triples: DataFrame,
       concepts: DataFrame,
       broadcastMaxRows: Long = 2000000L,
-      saltBuckets: Int = 16
+      saltBuckets: Int = 16,
+      /** None → count the dictionary to pick broadcast vs salted SMJ (one
+        * extra job, amortized at scale); Some(n) → caller-supplied size
+        * (e.g. from table stats) so no counting job runs.
+        */
+      dictSizeHint: Option[Long] = None
   )(implicit spark: SparkSession): DataFrame = {
     val dict = concepts.select(lower(col("name")).as("__key"), col("id"))
 
-    val t0 = System.nanoTime()
-    val dictRows = dict.count()
-    if (sys.env.contains("GRAFT_VERBOSE"))
-      System.err.println(f"[graft] dict.count ($dictRows rows)  ${(System.nanoTime() - t0) / 1e9}%6.2f s")
+    val dictRows = dictSizeHint.getOrElse(dict.count())
     val resolved =
       if (dictRows <= broadcastMaxRows) {
         triples

@@ -1,0 +1,192 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for web-scale corpora. Four families:
+  *
+  *  - exact: hash-groupBy on content (one shuffle, map-side combine)
+  *  - MinHash + LSH: shingle → k minhashes → band buckets → candidate
+  *    pairs only within buckets (never all-pairs)
+  *  - SimHash: 64-bit near-dup signature, bucketed by rotated prefixes
+  *  - n-gram Jaccard: exact verification join over LSH candidates
+  *
+  * Scale shape: every family is (narrow per-row signature) → (groupBy
+  * bucket) → (within-bucket pairs). Bucket sizes are bounded by banding
+  * parameters, so the pair stage never goes quadratic in corpus size.
+  */
+object Dedup {
+
+  /** Exact dedup: keep the smallest doc_id per identical text.
+    * groupBy(md5) rather than groupBy(text) so the shuffle carries 16
+    * bytes per key instead of the document body.
+    */
+  def exact(docs: DataFrame): DataFrame =
+    docs
+      .select(md5(col("text")).as("content_hash"), col("doc_id"))
+      .groupBy("content_hash")
+      .agg(min("doc_id").as("keep_id"), count(lit(1)).as("n_copies"))
+
+  // --- MinHash -------------------------------------------------------
+
+  /** Word 3-shingles → 32 minhashes (splitmix-scrambled), banded 8×4. */
+  private def mix64(z0: Long): Long = {
+    var z = z0 + 0x9e3779b97f4a7c15L
+    z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+    z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+    z ^ (z >>> 31)
+  }
+
+  val NumHashes = 32
+  val Bands = 8
+  val RowsPerBand = NumHashes / Bands
+
+  val minhashUdf = udf { (text: String) =>
+    if (text == null) Array.fill(NumHashes)(Long.MaxValue)
+    else {
+      val words = text.toLowerCase(java.util.Locale.ROOT).split("\\s+")
+      val sigs = Array.fill(NumHashes)(Long.MaxValue)
+      var i = 0
+      while (i + 2 < words.length) {
+        val shingle = (words(i) + " " + words(i + 1) + " " + words(i + 2)).hashCode.toLong
+        var k = 0
+        while (k < NumHashes) {
+          val h = mix64(shingle ^ mix64(k.toLong))
+          if (h < sigs(k)) sigs(k) = h
+          k += 1
+        }
+        i += 1
+      }
+      sigs
+    }
+  }
+
+  /** LSH candidate pairs: docs sharing ANY band of minhash values.
+    * Output: (id_a, id_b) with id_a < id_b, plus the estimated Jaccard
+    * from signature agreement.
+    */
+  def minhashLsh(docs: DataFrame, idCol: String = "doc_id")(implicit spark: SparkSession): DataFrame = {
+    val sigs = docs
+      .select(col(idCol).as("id"), minhashUdf(col("text")).as("sig"))
+    val banded = sigs.select(
+      col("id"), col("sig"),
+      explode(array((0 until Bands).map { b =>
+        struct(lit(b).as("band"),
+          hash((b * RowsPerBand until (b + 1) * RowsPerBand).map(i => col("sig")(i)): _*)
+            .as("bucket"))
+      }: _*)).as("bb"))
+      .select(col("id"), col("sig"), col("bb.band"), col("bb.bucket"))
+
+    val a = banded.select(col("band"), col("bucket"), col("id").as("id_a"), col("sig").as("sig_a"))
+    val b = banded.select(col("band"), col("bucket"), col("id").as("id_b"), col("sig").as("sig_b"))
+    val simUdf = udf { (x: Seq[Long], y: Seq[Long]) =>
+      x.zip(y).count { case (u, v) => u == v }.toDouble / NumHashes
+    }
+    a.join(b, Seq("band", "bucket"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), simUdf(col("sig_a"), col("sig_b")).as("est_jaccard"))
+      .groupBy("id_a", "id_b")
+      .agg(max("est_jaccard").as("est_jaccard"))
+  }
+
+  // --- SimHash -------------------------------------------------------
+
+  val simhashUdf = udf { (text: String) =>
+    if (text == null) 0L
+    else {
+      val counts = new Array[Int](64)
+      for (w <- text.toLowerCase(java.util.Locale.ROOT).split("\\s+") if w.nonEmpty) {
+        val h = mix64(w.hashCode.toLong)
+        var bit = 0
+        while (bit < 64) {
+          if (((h >>> bit) & 1L) == 1L) counts(bit) += 1 else counts(bit) -= 1
+          bit += 1
+        }
+      }
+      var sig = 0L
+      var bit = 0
+      while (bit < 64) { if (counts(bit) > 0) sig |= (1L << bit); bit += 1 }
+      sig
+    }
+  }
+
+  /** SimHash near-dup pairs: bucket by each of 4 16-bit chunks (docs within
+    * Hamming distance ≤ 3 of each other share at least one chunk when bits
+    * spread uniformly), verify with exact popcount.
+    */
+  def simhash(docs: DataFrame, maxHamming: Int = 3, idCol: String = "doc_id")(
+      implicit spark: SparkSession): DataFrame = {
+    val sigs = docs.select(col(idCol).as("id"), simhashUdf(col("text")).as("sig"))
+    val chunked = sigs.select(
+      col("id"), col("sig"),
+      explode(array((0 until 4).map(c =>
+        struct(lit(c).as("chunk"),
+          shiftright(col("sig"), c * 16).bitwiseAND(lit(0xffffL)).as("key"))): _*)).as("ck"))
+      .select(col("id"), col("sig"), col("ck.chunk"), col("ck.key"))
+    val a = chunked.select(col("chunk"), col("key"), col("id").as("id_a"), col("sig").as("sig_a"))
+    val b = chunked.select(col("chunk"), col("key"), col("id").as("id_b"), col("sig").as("sig_b"))
+    a.join(b, Seq("chunk", "key"))
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("hamming", bit_count(col("sig_a").bitwiseXOR(col("sig_b"))))
+      .filter(col("hamming") <= maxHamming)
+      .select("id_a", "id_b", "hamming")
+      .distinct()
+  }
+
+  // --- n-gram Jaccard --------------------------------------------------
+
+  val ngramSetUdf = udf { (text: String, n: Int) =>
+    if (text == null) Array.empty[Int]
+    else {
+      val words = text.toLowerCase(java.util.Locale.ROOT).split("\\s+")
+      val set = scala.collection.mutable.SortedSet.empty[Int]
+      var i = 0
+      while (i + n <= words.length) {
+        set += words.slice(i, i + n).mkString(" ").hashCode
+        i += 1
+      }
+      set.toArray
+    }
+  }
+
+  /** Exact n-gram Jaccard over LSH candidates: LSH proposes, this verifies.
+    * The verification join is bounded by candidate count, not corpus².
+    */
+  def ngramJaccard(docs: DataFrame, threshold: Double = 0.8, n: Int = 3,
+      idCol: String = "doc_id")(implicit spark: SparkSession): DataFrame = {
+    val candidates = minhashLsh(docs, idCol).filter(col("est_jaccard") >= threshold * 0.5)
+    val grams = docs.select(col(idCol).as("id"), ngramSetUdf(col("text"), lit(n)).as("grams"))
+    val jac = udf { (x: Seq[Int], y: Seq[Int]) =>
+      if (x.isEmpty || y.isEmpty) 0.0
+      else {
+        val xs = x.toSet; val inter = y.count(xs.contains)
+        inter.toDouble / (x.length + y.length - inter)
+      }
+    }
+    candidates
+      .join(grams.withColumnRenamed("id", "id_a").withColumnRenamed("grams", "ga"), Seq("id_a"))
+      .join(grams.withColumnRenamed("id", "id_b").withColumnRenamed("grams", "gb"), Seq("id_b"))
+      .withColumn("jaccard", jac(col("ga"), col("gb")))
+      .filter(col("jaccard") >= threshold)
+      .select("id_a", "id_b", "jaccard")
+  }
+
+  /** Embedding-cosine near-dup: normalized vectors, LSH-bucketed by random
+    * hyperplane signs (see Similarity.planeSignature), verify with exact
+    * cosine ≥ threshold.
+    */
+  def embeddingCosine(embeddings: DataFrame, threshold: Double = 0.95,
+      idCol: String = "vec_id", vecCol: String = "embedding")(
+      implicit spark: SparkSession): DataFrame = {
+    val sigs = embeddings.select(
+      col(idCol).as("id"), col(vecCol).as("vec"),
+      Similarity.planeSignatureUdf(col(vecCol)).as("sig"))
+    val a = sigs.select(col("sig"), col("id").as("id_a"), col("vec").as("va"))
+    val b = sigs.select(col("sig"), col("id").as("id_b"), col("vec").as("vb"))
+    a.join(b, Seq("sig"))
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("cosine", Similarity.cosineUdf(col("va"), col("vb")))
+      .filter(col("cosine") >= threshold)
+      .select("id_a", "id_b", "cosine")
+  }
+}

@@ -72,6 +72,11 @@ object Ingest {
       nameSimThreshold: Double = 0.75,
       broadcastMaxRows: Long = 2000000L,
       saltBuckets: Int = 16,
+      /** Some(n): assume the concept dictionary has ~n rows (skip the
+        * sizing count; real deployments read this from table statistics).
+        * None: count before choosing broadcast vs salted join.
+        */
+      dictSizeHint: Option[Long] = None,
       verbose: Boolean = sys.env.contains("GRAFT_VERBOSE"))
 
   private def timed[T](cfg: Config, name: String)(f: => T): T = {
@@ -112,14 +117,17 @@ object Ingest {
     filtered.map(p => extractPage(p.url, p.day, p.html, cfg))
   }
 
-  def mentionsOf(extractions: Dataset[PageExtraction])(implicit spark: SparkSession): DataFrame =
+  /** Column-pruned explodes over the staged extraction table: parquet only
+    * reads the struct fields each view touches.
+    */
+  def mentionsOf(extractions: DataFrame): DataFrame =
     extractions
       .select(col("url"), col("day"), explode(col("mentions")).as("m"))
       .select(col("url"), col("day"), col("m.chunk_id").as("chunk_id"),
         col("m.name").as("name"), col("m.description").as("description"),
         col("m.confidence").as("confidence"))
 
-  def triplesOf(extractions: Dataset[PageExtraction])(implicit spark: SparkSession): DataFrame =
+  def triplesOf(extractions: DataFrame): DataFrame =
     extractions
       .select(col("url"), col("day"), explode(col("triples")).as("t"))
       .select(
@@ -129,7 +137,7 @@ object Ingest {
         col("t.sentence").as("sentence"),
         lit(TextSpec.version).as("extractor_version"))
 
-  def aliasesOf(extractions: Dataset[PageExtraction])(implicit spark: SparkSession): DataFrame =
+  def aliasesOf(extractions: DataFrame): DataFrame =
     extractions
       .select(explode(col("aliases")).as("a"))
       .select(col("a.name_a").as("name_a"), col("a.name_b").as("name_b"))
@@ -137,35 +145,48 @@ object Ingest {
 
   /** Ingest any not-yet-committed input partitions, then rebuild the derived
     * tables. Returns the number of newly processed partitions.
+    *
+    * `knownPartitions`: on a real table the partition list comes from table
+    * metadata (an Iceberg manifest / filesystem listing), never from a data
+    * scan; callers that know the partition values pass them here. The
+    * fallback scans the Dataset (correct but wasteful for a generated
+    * input whose `day` only exists after the generator map runs).
     */
   def run(
       pages: Dataset[PageRow],
       store: SnapshotStore,
-      cfg: Config = Config()
+      cfg: Config = Config(),
+      knownPartitions: Option[Seq[String]] = None
   )(implicit spark: SparkSession): Int = {
     import spark.implicits._
 
-    val inputParts = pages.select(col("day")).distinct().as[String].collect().sorted.toSeq
-    val done = store.ingestedPartitions("triples_raw")
+    val inputParts = knownPartitions.getOrElse(
+      pages.select(col("day")).distinct().as[String].collect().sorted.toSeq)
+    val done = store.ingestedPartitions("extractions")
     val todo = inputParts.filterNot(done)
     if (todo.nonEmpty) {
       val t0 = System.nanoTime()
       val slice = pages.filter(col("day").isin(todo: _*))
-      val extractions = extract(slice, cfg).persist(StorageLevel.MEMORY_AND_DISK)
+
+      // Stage the per-page extraction output to parquet in ONE pass — the
+      // expensive compute is never recomputed and never cached on-heap
+      // (at corpus scale an in-memory persist of this table thrashes GC;
+      // downstream views read back column-pruned).
+      timed(cfg, "extract+commit extractions") {
+        store.commitAppend("extractions", extract(slice, cfg).toDF(), todo)
+      }
+      val staged = store.read("extractions").filter(col("day").isin(todo: _*))
 
       timed(cfg, "commit pages_text") {
         store.commitAppend("pages_text",
-          extractions.select(col("url"), col("day"), col("text_sha256"),
+          staged.select(col("url"), col("day"), col("text_sha256"),
             col("n_chars"), col("n_chunks")),
           todo)
       }
-      timed(cfg, "commit mentions") { store.commitAppend("mentions", mentionsOf(extractions), todo) }
-      timed(cfg, "commit triples_raw") { store.commitAppend("triples_raw", triplesOf(extractions), todo) }
-      timed(cfg, "commit aliases") { store.commitAppend("aliases", aliasesOf(extractions), todo) }
 
       // per-partition extraction lineage
       val wallMs = (System.nanoTime() - t0) / 1000000L
-      val lineage = extractions
+      val lineage = staged
         .groupBy(col("day").as("input_partition"))
         .agg(
           count(lit(1)).as("docs"),
@@ -175,7 +196,6 @@ object Ingest {
         .withColumn("wall_ms", lit(wallMs))
         .withColumn("extractor_version", lit(TextSpec.version))
       timed(cfg, "commit lineage") { store.commitAppend("lineage", lineage, todo) }
-      extractions.unpersist()
     }
 
     timed(cfg, "rebuildDerived total") { rebuildDerived(store, cfg) }
@@ -187,9 +207,10 @@ object Ingest {
     * so interrupted runs converge to the uninterrupted result.
     */
   def rebuildDerived(store: SnapshotStore, cfg: Config)(implicit spark: SparkSession): Unit = {
-    val allParts = store.latest("triples_raw").map(_.inputPartitions).getOrElse(Seq.empty)
-    val mentions = store.read("mentions")
-    val triplesRaw = store.read("triples_raw")
+    val allParts = store.latest("extractions").map(_.inputPartitions).getOrElse(Seq.empty)
+    val staged = store.read("extractions")
+    val mentions = mentionsOf(staged)
+    val triplesRaw = triplesOf(staged)
 
     val concepts = timed(cfg, "buildConcepts") {
       Linking
@@ -200,14 +221,15 @@ object Ingest {
     // cross-chunk (s,o,type) dedup before pruning — keep max confidence, then
     // the longest evidence (E12, ingest/base.py:242-259 made deterministic)
     val rawEdges = timed(cfg, "resolveEdges") {
-      Linking.resolveEdges(triplesRaw, concepts, cfg.broadcastMaxRows, cfg.saltBuckets)(spark)
+      Linking.resolveEdges(triplesRaw, concepts, cfg.broadcastMaxRows, cfg.saltBuckets,
+        cfg.dictSizeHint)(spark)
     }
     val tagged = timed(cfg, "prune.tag") {
       Pruning.tag(rawEdges, cfg.pruning)(spark).persist(StorageLevel.MEMORY_AND_DISK)
     }
     val prunedEdges = Pruning.survivors(tagged)
 
-    val aliasPairs = store.read("aliases")
+    val aliasPairs = aliasesOf(staged)
     val canonMap = timed(cfg, "canonicalMap") {
       Canon.canonicalMap(concepts, aliasPairs, cfg.nameSimThreshold)(spark)
         .persist(StorageLevel.MEMORY_AND_DISK)

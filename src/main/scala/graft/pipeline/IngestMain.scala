@@ -55,7 +55,7 @@ object IngestMain {
 
     // P/R vs the sequential oracle on (canonical) surface names: compare the
     // RAW triple surface set — the apples-to-apples artifact both sides emit
-    val pipelineTriples = store.read("triples_raw")
+    val pipelineTriples = Ingest.triplesOf(store.read("extractions"))
       .select("subj", "pred", "obj").distinct()
       .collect().map(r => (r.getString(0), r.getString(1), r.getString(2))).toSet
     val tOracle = System.nanoTime()

@@ -1,7 +1,7 @@
 package graft.prune
 
 import graft.core.{RelationTypes, TextSpec}
-import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -9,22 +9,20 @@ import org.apache.spark.sql.types._
   * (src/qortex/core/pruning.py:29-100 docstring; engine :329-489),
   * re-expressed over DataFrames.
   *
-  * Design: instead of filtering at each step (which would force either
-  * multiple jobs or lost statistics), every row flows through tagged with a
-  * nullable `drop_reason` column; survivors are `drop_reason IS NULL`. One
-  * pass produces both the pruned edge set and the per-reason drop counts the
-  * reference accumulates in PruningResult (pruning.py:160-201) — those counts
-  * land in our per-partition lineage rows (SURVEY.md §7.4).
+  * Design: every row flows through tagged with a nullable `drop_reason`
+  * column; survivors are `drop_reason IS NULL`. One pass produces both the
+  * pruned edge set and the per-reason drop counts the reference accumulates
+  * in PruningResult (pruning.py:160-201) — those counts land in our
+  * per-partition lineage rows (SURVEY.md §7.4).
   *
-  * Scale notes:
-  *  - P1/P2/P6 are narrow per-row ops → whole-stage codegen.
-  *  - P3 (Jaccard dedup within (src,tgt,type)) and P4 (competing relations
-  *    within (src,tgt)) are order-dependent greedy sweeps; group = edges
-  *    between ONE ordered node pair, so groups are tiny even at 100 TB.
-  *    P3's key refines P4's key, so both run inside ONE groupByKey shuffle
-  *    on (src,tgt).
-  *  - P5 needs a degree table: explode endpoints → groupBy(id).count → join
-  *    back. |V| ≪ |E|; AQE broadcasts the degree side when small.
+  * Scale shape — ONE wide exchange for P0–P4: the edge stream shuffles once
+  * on (src,tgt); inside each group we collapse exact-duplicate evidence
+  * (P0, ours), tokenize each surviving evidence once, apply P1/P2 as per-row
+  * checks, and run the order-dependent greedy P3/P4 sweeps. Groups are the
+  * edges between ONE node pair — bounded by the sweep cap for the quadratic
+  * part. P5 (isolated-weak) needs a degree table: explode endpoints →
+  * groupBy(id).count → join back; |V| ≪ |E| and AQE broadcasts the degree
+  * side when small.
   */
 object Pruning {
 
@@ -36,7 +34,16 @@ object Pruning {
       competingOverlapThreshold: Double = 0.3, // :151
       isolatedWeakConfidence: Double = 0.65, // :153
       enabled: Boolean = true,
-      tagLayers: Boolean = true
+      tagLayers: Boolean = true,
+      /** Scale adaptation (ours): the reference prunes per-document edge
+        * lists (tens of rows); a whole-corpus prune sees thousands of
+        * distinct evidence variants for head node pairs, and the greedy
+        * P3 sweep is O(kept²) per group. Only the `sweepCap`
+        * highest-confidence evidences per (src,tgt,relation) enter the
+        * sweep; the tail is tagged duplicate (redundant evidence for an
+        * edge whose best witnesses are already kept).
+        */
+      sweepCap: Int = 16
   )
 
   final case class Stats(
@@ -51,10 +58,9 @@ object Pruning {
 
   val ReasonCol = "drop_reason"
 
-  private val tokenizeUdf = udf((s: String) => TextSpec.tokenize(s).toSeq.sorted)
-
-  /** Tag every edge with `drop_reason` (null = survivor), `strength`, and
-    * (if cfg.tagLayers) `layer`. Input must have source_id, target_id,
+  /** Tag every edge with `drop_reason` (null = survivor), `strength`,
+    * `__dups` (collapsed exact-duplicate multiplicity) and (if
+    * cfg.tagLayers) `layer`. Input must have source_id, target_id,
     * relation_type, confidence, source_text; other columns pass through.
     *
     * The P3/P4 greedy sweeps keep the reference's descending-confidence
@@ -69,77 +75,118 @@ object Pruning {
       val base = edges
         .withColumn(ReasonCol, lit(null).cast(StringType))
         .withColumn("strength", lit(null).cast(StringType))
+        .withColumn("__dups", lit(0L))
       return if (cfg.tagLayers) withLayer(base) else base
     }
 
-    // P1 + P2: narrow, codegen-friendly
-    val tagged12 = edges
-      .withColumn("__tokens", tokenizeUdf(coalesce(col("source_text"), lit(""))))
-      .withColumn(
-        ReasonCol,
-        when(size(col("__tokens")) < cfg.minEvidenceTokens, "low_evidence")
-          .when(col("confidence") < cfg.confidenceFloor, "low_confidence")
-          .otherwise(lit(null).cast(StringType)))
-      .withColumn(
-        "strength",
-        when(col(ReasonCol).isNotNull, lit(null).cast(StringType))
-          .when(col("confidence") >= cfg.confidenceWeak, "strong")
-          .otherwise("weak"))
+    val inSchema = edges.schema
+    val outSchema = StructType(inSchema.fields ++ Array(
+      StructField(ReasonCol, StringType, nullable = true),
+      StructField("strength", StringType, nullable = true),
+      StructField("__dups", LongType, nullable = false)))
+    implicit val rowEnc = org.apache.spark.sql.Encoders.row(outSchema)
 
-    // P3 + P4 in one shuffle on (src,tgt)
-    val schema = tagged12.schema
-    val reasonIdx = schema.fieldIndex(ReasonCol)
-    val tokIdx = schema.fieldIndex("__tokens")
-    val confIdx = schema.fieldIndex("confidence")
-    val relIdx = schema.fieldIndex("relation_type")
-    val stIdx = schema.fieldIndex("source_text")
+    val srcIdx = inSchema.fieldIndex("source_id")
+    val tgtIdx = inSchema.fieldIndex("target_id")
+    val relIdx = inSchema.fieldIndex("relation_type")
+    val confIdx = inSchema.fieldIndex("confidence")
+    val stIdx = inSchema.fieldIndex("source_text")
+    val nIn = inSchema.length
+
+    val minTok = cfg.minEvidenceTokens
+    val floor = cfg.confidenceFloor
+    val weakT = cfg.confidenceWeak
     val jdt = cfg.jaccardDuplicateThreshold
     val cot = cfg.competingOverlapThreshold
+    val cap = cfg.sweepCap
 
-    implicit val rowEnc = org.apache.spark.sql.Encoders.row(schema)
-
-    val after34 = tagged12
-      .groupByKey(r => (r.getString(schema.fieldIndex("source_id")),
-        r.getString(schema.fieldIndex("target_id"))))
+    val tagged14 = edges
+      .groupByKey(r => (r.getString(srcIdx), r.getString(tgtIdx)))
       .flatMapGroups { (_, it) =>
-        val rows = it.toArray
-        val (live, dead) = rows.partition(_.isNullAt(reasonIdx))
-        val sorted = live.sortBy(r =>
-          (-r.getDouble(confIdx), String.valueOf(r.get(stIdx)), r.getString(relIdx)))
-        def toks(r: Row): Set[String] = r.getSeq[String](tokIdx).toSet
-        def withReason(r: Row, reason: String): Row = {
-          val vals = r.toSeq.toArray
-          vals(reasonIdx) = reason
-          Row.fromSeq(vals.toIndexedSeq)
+        // P0 (ours): collapse exact-duplicate (relation, evidence) rows —
+        // Jaccard-1.0 duplicates by definition; keep max confidence and a
+        // deterministic witness for the passthrough columns
+        final case class Acc(var row: Row, var conf: Double, var dups: Long)
+        val byKey = scala.collection.mutable.HashMap.empty[(String, String), Acc]
+        // deterministic witness: max confidence, ties broken on the full
+        // row rendering — NEVER on arrival order (resume re-reads with a
+        // different partitioning and must pick identical witnesses)
+        def rowKey(r: Row): String = r.mkString("\u0001")
+        for (r <- it) {
+          val key = (r.getString(relIdx), String.valueOf(r.get(stIdx)))
+          val conf = r.getDouble(confIdx)
+          byKey.get(key) match {
+            case None => byKey.update(key, Acc(r, conf, 0L))
+            case Some(a) =>
+              a.dups += 1
+              if (conf > a.conf || (conf == a.conf && rowKey(r) < rowKey(a.row))) {
+                a.row = r; a.conf = conf
+              }
+          }
         }
-        val kept3 = scala.collection.mutable.ArrayBuffer.empty[Row]
-        val dropped = scala.collection.mutable.ArrayBuffer.empty[Row]
-        for (r <- sorted) { // P3: same relation_type, Jaccard > threshold
-          if (kept3.exists(k => k.getString(relIdx) == r.getString(relIdx) &&
-              TextSpec.jaccard(toks(r), toks(k)) > jdt))
-            dropped += withReason(r, "duplicate")
-          else kept3 += r
+
+        def emit(r: Row, reason: String, strength: String, dups: Long): Row = {
+          val vals = new Array[Any](nIn + 3)
+          var i = 0
+          while (i < nIn) { vals(i) = r.get(i); i += 1 }
+          vals(nIn) = reason; vals(nIn + 1) = strength; vals(nIn + 2) = dups
+          new org.apache.spark.sql.catalyst.expressions.GenericRow(vals)
         }
-        val kept4 = scala.collection.mutable.ArrayBuffer.empty[Row]
-        for (r <- kept3) { // P4: different relation_type, overlap ≥ threshold
-          if (kept4.exists(k => k.getString(relIdx) != r.getString(relIdx) &&
-              TextSpec.jaccard(toks(r), toks(k)) >= cot))
-            dropped += withReason(r, "competing")
-          else kept4 += r
+
+        val out = scala.collection.mutable.ArrayBuffer.empty[Row]
+
+        // P1 + P2 per distinct evidence; survivors sorted for the sweeps
+        final case class Live(row: Row, conf: Double, rel: String,
+            text: String, toks: Set[String], dups: Long)
+        val live = scala.collection.mutable.ArrayBuffer.empty[Live]
+        for (a <- byKey.valuesIterator) {
+          val r = a.row
+          val text = String.valueOf(r.get(stIdx))
+          val toks = TextSpec.tokenize(text)
+          if (toks.size < minTok) out += emit(r, "low_evidence", null, a.dups)
+          else if (a.conf < floor) out += emit(r, "low_confidence", null, a.dups)
+          else live += Live(r, a.conf, r.getString(relIdx), text, toks, a.dups)
         }
-        (kept4.iterator ++ dropped.iterator ++ dead.iterator)
+        val sorted = live.sortBy(l => (-l.conf, l.text, l.rel))
+
+        def strengthOf(conf: Double) = if (conf >= weakT) "strong" else "weak"
+
+        // sweep cap per relation_type (the tail is redundant evidence)
+        val perRel = scala.collection.mutable.Map.empty[String, Int]
+        val sweep = scala.collection.mutable.ArrayBuffer.empty[Live]
+        for (l <- sorted) {
+          val n = perRel.getOrElse(l.rel, 0)
+          if (n < cap) { perRel.update(l.rel, n + 1); sweep += l }
+          else out += emit(l.row, "duplicate", strengthOf(l.conf), l.dups)
+        }
+
+        // P3: same relation, Jaccard > threshold vs any kept
+        val kept3 = scala.collection.mutable.ArrayBuffer.empty[Live]
+        for (l <- sweep) {
+          if (kept3.exists(k => k.rel == l.rel && TextSpec.jaccard(l.toks, k.toks) > jdt))
+            out += emit(l.row, "duplicate", strengthOf(l.conf), l.dups)
+          else kept3 += l
+        }
+        // P4: different relation, overlap ≥ threshold vs any kept
+        val kept4 = scala.collection.mutable.ArrayBuffer.empty[Live]
+        for (l <- kept3) {
+          if (kept4.exists(k => k.rel != l.rel && TextSpec.jaccard(l.toks, k.toks) >= cot))
+            out += emit(l.row, "competing", strengthOf(l.conf), l.dups)
+          else kept4 += l
+        }
+        for (l <- kept4) out += emit(l.row, null, strengthOf(l.conf), l.dups)
+        out.iterator
       }
-      .toDF(schema.fieldNames.toIndexedSeq: _*)
-      .drop("__tokens")
+      .toDF(outSchema.fieldNames.toIndexedSeq: _*)
 
     // P5: isolated weak — degrees over current survivors
-    val degrees = after34
+    val degrees = tagged14
       .filter(col(ReasonCol).isNull)
       .select(explode(array(col("source_id"), col("target_id"))).as("__node"))
       .groupBy("__node")
       .agg(count(lit(1)).as("__deg"))
 
-    val withDeg = after34
+    val withDeg = tagged14
       .join(degrees.withColumnRenamed("__node", "source_id").withColumnRenamed("__deg", "__sdeg"),
         Seq("source_id"), "left")
       .join(degrees.withColumnRenamed("__node", "target_id").withColumnRenamed("__deg", "__tdeg"),
@@ -161,22 +208,28 @@ object Pruning {
 
   /** Survivors of a tagged frame, helper columns removed. */
   def survivors(tagged: DataFrame): DataFrame =
-    tagged.filter(col(ReasonCol).isNull).drop(ReasonCol)
+    tagged.filter(col(ReasonCol).isNull)
+      .drop(ReasonCol, "__dups")
 
-  /** Drop-reason counts from a tagged frame (single aggregation). */
+  /** Drop-reason counts from a tagged frame (single aggregation).
+    * Exact-duplicate evidence collapsed by P0 counts toward `duplicate`.
+    */
   def stats(tagged: DataFrame): Stats = {
+    val dupsCol =
+      if (tagged.columns.contains("__dups")) col("__dups") else lit(0L)
     val counts = tagged
       .groupBy(coalesce(col(ReasonCol), lit("__kept")).as("r"))
-      .agg(count(lit(1)).as("n"))
+      .agg(count(lit(1)).as("n"), sum(dupsCol).as("d"))
       .collect()
-      .map(r => r.getString(0) -> r.getLong(1))
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2)))
       .toMap
-    def g(k: String) = counts.getOrElse(k, 0L)
+    def g(k: String) = counts.get(k).map(_._1).getOrElse(0L)
+    val exactDups = counts.values.map(_._2).sum
     Stats(
-      input = counts.values.sum,
+      input = counts.values.map(_._1).sum + exactDups,
       droppedLowEvidence = g("low_evidence"),
       droppedLowConfidence = g("low_confidence"),
-      droppedDuplicate = g("duplicate"),
+      droppedDuplicate = g("duplicate") + exactDups,
       droppedCompeting = g("competing"),
       droppedIsolated = g("isolated"),
       output = g("__kept"))

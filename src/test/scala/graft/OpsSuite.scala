@@ -1,0 +1,101 @@
+package graft
+
+import graft.ops.{Dedup, Multimodal, Similarity, TextAnalysis}
+import org.apache.spark.sql.functions._
+
+class OpsSuite extends SparkFunSuite {
+  import spark.implicits._
+
+  private lazy val docs = Seq(
+    (0L, "the quick brown fox jumps over the lazy dog near the river bank today", "en", 70L),
+    (1L, "the quick brown fox jumps over the lazy dog near the river bank today", "en", 70L), // exact dup of 0
+    (2L, "the quick brown fox jumps over the lazy dog near the river bank tonight", "en", 71L), // near dup
+    (3L, "der schnelle braune fuchs springt und das ist ein ganz anderer text hier", "de", 72L),
+    (4L, "completely different content about spark shuffle partitions and joins", "en", 69L)
+  ).toDF("doc_id", "text", "lang", "n_chars")
+
+  test("exact dedup groups identical texts, keeps min doc_id") {
+    val out = Dedup.exact(docs).as[(String, Long, Long)].collect()
+    assert(out.length == 4) // 0 and 1 collapse
+    val dupGroup = out.find(_._3 == 2L)
+    assert(dupGroup.isDefined && dupGroup.get._2 == 0L)
+  }
+
+  test("minhash LSH finds exact and near duplicates, not unrelated docs") {
+    val pairs = Dedup.minhashLsh(docs).filter($"est_jaccard" >= 0.5)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((0L, 1L)))
+    assert(pairs.contains((0L, 2L)) || pairs.contains((1L, 2L)))
+    assert(!pairs.exists(p => p._1 == 4L || p._2 == 4L))
+  }
+
+  test("simhash: identical docs at hamming 0; unrelated docs far") {
+    val pairs = Dedup.simhash(docs, maxHamming = 3)
+      .as[(Long, Long, Long)].collect()
+    val exact = pairs.find(p => p._1 == 0L && p._2 == 1L)
+    assert(exact.isDefined && exact.get._3 == 0L)
+    assert(!pairs.exists(p => (p._1, p._2) == (0L, 4L)))
+  }
+
+  test("ngram jaccard verifies near-dups exactly") {
+    val pairs = Dedup.ngramJaccard(docs, threshold = 0.5)
+      .as[(Long, Long, Double)].collect()
+    val d01 = pairs.find(p => p._1 == 0L && p._2 == 1L)
+    assert(d01.isDefined && d01.get._3 == 1.0)
+  }
+
+  test("cosine: orthogonal, identical, opposite") {
+    val c = Similarity.cosineUdf
+    val df = Seq(
+      (Seq(1f, 0f), Seq(0f, 1f)),
+      (Seq(1f, 2f), Seq(1f, 2f)),
+      (Seq(1f, 0f), Seq(-1f, 0f))).toDF("a", "b")
+      .select(c($"a", $"b").as("cos")).as[Double].collect()
+    assert(math.abs(df(0)) < 1e-12)
+    assert(math.abs(df(1) - 1.0) < 1e-12)
+    assert(math.abs(df(2) + 1.0) < 1e-12)
+  }
+
+  test("brute-force top-k returns k neighbors ranked by cosine") {
+    val vecs = Seq(
+      (0L, Seq(1f, 0f, 0f)), (1L, Seq(0.9f, 0.1f, 0f)),
+      (2L, Seq(0f, 1f, 0f)), (3L, Seq(0.95f, 0f, 0.05f))).toDF("vec_id", "embedding")
+    val out = Similarity.bruteForceTopK(vecs, vecs.filter($"vec_id" === 0L), k = 2)
+      .select("neighbor_id", "rank").as[(Long, Int)].collect().toMap
+    assert(out.keySet == Set(3L, 1L)) // the two closest to (1,0,0)
+    assert(out(3L) == 1)
+  }
+
+  test("LSH ANN recall: identical vector found in its own bucket") {
+    val base = (0L until 50L).map(i =>
+      (i, Seq.tabulate(16)(d => math.sin(i * 17.0 + d).toFloat)))
+    val vecs = base.toDF("vec_id", "embedding")
+    val out = Similarity.lshTopK(vecs, vecs.filter($"vec_id" < 3L), k = 3, planes = 6)
+    assert(out.count() > 0)
+  }
+
+  test("token count, quality flags, langid, fingerprint are deterministic and sane") {
+    val q = TextAnalysis.quality(docs)
+    assert(q.filter($"doc_id" === 0L).select("n_tokens").as[Int].head() == 14)
+    val lid = TextAnalysis.langId(docs)
+      .select("doc_id", "predicted_lang").as[(Long, String)].collect().toMap
+    assert(lid(0L) == "en")
+    assert(lid(3L) == "de")
+    val fp = TextAnalysis.fingerprints(docs).as[(Long, Long)].collect().toMap
+    assert(fp(0L) == fp(1L)) // identical text → identical fingerprint
+    assert(fp(0L) != fp(4L))
+  }
+
+  test("multimodal: stub features have real schema/batch shape") {
+    val media = Multimodal.synthesizeFromDocuments(docs)
+    val feats = Multimodal.extractFeatures(media)
+    assert(feats.count() == 5)
+    val textLen = docs.filter($"doc_id" === 0L)
+      .select(length($"text")).as[Int].head()
+    val row = feats.filter($"media_id" === 0L)
+      .select("n_bytes", "features").as[(Long, Seq[Float])].head()
+    assert(row._1 == textLen.toLong)
+    assert(row._2.length == 8)
+    assert(row._2.head == textLen.toFloat) // feature 0 = byte length
+  }
+}
