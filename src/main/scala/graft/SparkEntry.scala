@@ -219,6 +219,42 @@ object SparkEntry {
       graft.graph.Ppr.run(edges, seeds, tol = 1e-4, maxIter = 25)
         .withColumn("rank", round(col("rank"), 6))
     }),
+    "q31_rules_explicit" -> ((s, _) => {
+      implicit val sp = s
+      val ex = kgExtractions(s)
+      val concepts = Linking.buildConcepts(Ingest.mentionsOf(ex), "web", graft.core.TextSpec.version)
+      graft.rules.Rules.explicitRules(Ingest.ruleSentencesOf(ex), concepts, "web")
+    }),
+    "q32_rules_derived" -> ((s, _) => {
+      implicit val sp = s
+      val ex = kgExtractions(s)
+      val concepts = Linking.buildConcepts(Ingest.mentionsOf(ex), "web", graft.core.TextSpec.version)
+      val edges = Pruning.prune(Linking.resolveEdges(Ingest.triplesOf(ex), concepts))
+      graft.rules.Rules.derivedRules(
+        edges.select("source_id", "target_id", "relation_type", "confidence"), concepts, "web")
+    }),
+    "q33_retrieval_hybrid" -> ((s, _) => {
+      implicit val sp = s
+      import sp.implicits._
+      val ex = kgExtractions(s)
+      val concepts = Linking.buildConcepts(Ingest.mentionsOf(ex), "web", graft.core.TextSpec.version)
+      val edges = Pruning.prune(Linking.resolveEdges(Ingest.triplesOf(ex), concepts))
+      val factors = Seq.empty[(String, Double)].toDF("node_id", "factor")
+      graft.query.Retrieval.retrieve(concepts, edges, factors,
+        "platform access control tokens", topK = 10)
+        .withColumn("vec_score", round(col("vec_score"), 4))
+        .withColumn("combined", round(col("combined"), 4))
+        .drop("ppr")
+    }),
+    "q34_bfs_neighborhood" -> ((s, _) => {
+      implicit val sp = s
+      import sp.implicits._
+      val ex = kgExtractions(s)
+      val concepts = Linking.buildConcepts(Ingest.mentionsOf(ex), "web", graft.core.TextSpec.version)
+      val edges = Pruning.prune(Linking.resolveEdges(Ingest.triplesOf(ex), concepts))
+      val seeds = Seq("web:The Platform").toDF("id")
+      graft.graph.Bfs.patternCompletion(edges, seeds, maxDepth = 2)
+    }),
     "q30_edge_promotion" -> ((s, dir) => {
       implicit val sp = s
       // synthetic observation stream: repeated high-cosine pairs from the

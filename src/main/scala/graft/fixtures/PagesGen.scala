@@ -145,9 +145,17 @@ object PagesGen {
         val full = named(rng.nextInt(named.length))
         sb.append(s"${full} is also known as ${aliases(full)} among platform engineers.\n")
       } else {
-        // plain prose, no mentions beyond the subject
+        // normative sentence (explicit-rule source; "must never"/"should
+        // always" carry no relation verb, so the triple set is untouched).
+        // Side RNG so the main stream — and therefore every other
+        // sentence — is identical to earlier corpus versions.
         val f1 = fillers(rng.nextInt(fillers.length))
-        sb.append(s"$subj remains stable $f1 even as deployments roll forward.\n")
+        val r2 = new Rng(mix(seed ^ 0x777L) ^ mix(i * 97L + s))
+        val obj2 = entities(r2.nextInt(entities.length))
+        if (r2.nextDouble() < 0.5)
+          sb.append(s"$subj must never bypass $obj2 $f1 in production environments.\n")
+        else
+          sb.append(s"$subj should always be deployed alongside $obj2 $f1 for resilience reasons.\n")
       }
       s += 1
     }

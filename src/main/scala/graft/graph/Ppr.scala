@@ -67,26 +67,38 @@ object Ppr {
     val persisted = pers.persist(StorageLevel.MEMORY_AND_DISK)
     persisted.count()
 
-    var ranks = persisted.select(col("id"), col("pers").as("rank")).localCheckpoint()
-    var iter = 0
-    var delta = Double.MaxValue
-    while (delta > tol && iter < maxIter) {
+    // Iterations are chained LAZILY in blocks of `blockSize`; each block
+    // materializes once (localCheckpoint, truncating lineage) and pays one
+    // convergence check. Per-iteration eager checkpoints + delta counts
+    // would cost ~3 driver jobs per iteration — at 25+ iterations that is
+    // pure scheduling overhead dominating small/medium graphs.
+    val blockSize = 5
+    def step(ranks: DataFrame): DataFrame = {
       val contrib = adj
         .join(ranks.withColumnRenamed("id", "src"), Seq("src"))
         .groupBy(col("dst").as("id"))
         .agg(sum(col("rank") * col("p")).as("inflow"))
-      val next = persisted
+      persisted
         .join(contrib, Seq("id"), "left")
         .select(col("id"),
           (lit(damping) * coalesce(col("inflow"), lit(0.0)) +
             lit(1.0 - damping) * col("pers")).as("rank"))
-        .localCheckpoint()
+    }
+
+    var ranks = persisted.select(col("id"), col("pers").as("rank")).localCheckpoint()
+    var iter = 0
+    var delta = Double.MaxValue
+    while (delta > tol && iter < maxIter) {
+      val n = math.min(blockSize, maxIter - iter)
+      var next = ranks
+      for (_ <- 0 until n) next = step(next)
+      next = next.localCheckpoint()
       delta = next
         .join(ranks.withColumnRenamed("rank", "prev"), Seq("id"))
         .agg(sum(abs(col("rank") - col("prev"))))
         .collect()(0).getDouble(0)
       ranks = next
-      iter += 1
+      iter += n
     }
     adj.unpersist(); nodes.unpersist(); persisted.unpersist()
     ranks.filter(col("rank") > minScore)

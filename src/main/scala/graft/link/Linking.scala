@@ -25,6 +25,15 @@ object Linking {
   /** Node id scheme "{domain}:{Name}" — ingest/base.py:174. */
   def conceptId(domain: String, name: String): String = s"$domain:$name"
 
+  /** E11: deterministic 384-d embedding of "name: description"
+    * (ingest/base.py:225-235 text template; see graft.core.Embeddings).
+    */
+  private val embedUdf = udf { (name: String, description: String) =>
+    graft.core.Embeddings.embedConcept(
+      if (name == null) "" else name,
+      if (description == null) "" else description)
+  }
+
   /** Build the concept table from the mention stream.
     * Winner per lower(name): max confidence, then lexicographically smallest
     * name variant then earliest (url, chunk_id) — a deterministic version of
@@ -49,6 +58,8 @@ object Linking {
         col("__src.chunk_id").as("source_location"),
         col("confidence"),
         col("mention_count"),
+        embedUdf(col("name"), col("__src.description")).as("embedding"),
+        lit("feature-hash-384-v1").as("embedding_model"),
         lit(extractorVersion).as("extractor_version"))
   }
 

@@ -48,7 +48,8 @@ object Ingest {
       n_chunks: Int,
       mentions: Seq[MentionLite],
       triples: Seq[TripleLite],
-      aliases: Seq[AliasPair])
+      aliases: Seq[AliasPair],
+      rule_sentences: Seq[String]) // normative sentences (explicit rules, E9)
 
   /** "X is also known as Y" textual alias rule (canonicalization seed; our
     * spec — plays the role of the reference's illustrative-concept matching,
@@ -102,9 +103,11 @@ object Ingest {
       triples ++= ex.triples.map(t =>
         TripleLite(c.id, t.subj, t.pred, t.obj, t.confidence, t.sentence))
     }
+    val ruleSentences = text.split("(?<=[.!?\\n])\\s+").iterator
+      .map(_.trim).filter(graft.rules.Rules.isNormative).toVector.distinct
     PageExtraction(
       url, day, TextSpec.sha256Hex(text), text.length.toLong, chunks.length,
-      mentions.result(), triples.result(), aliasesIn(text))
+      mentions.result(), triples.result(), aliasesIn(text), ruleSentences)
   }
 
   /** Distributed extraction over a slice of the pages table. */
@@ -142,6 +145,10 @@ object Ingest {
       .select(explode(col("aliases")).as("a"))
       .select(col("a.name_a").as("name_a"), col("a.name_b").as("name_b"))
       .distinct()
+
+  def ruleSentencesOf(extractions: DataFrame): DataFrame =
+    extractions
+      .select(col("url"), explode(col("rule_sentences")).as("text"))
 
   /** Ingest any not-yet-committed input partitions, then rebuild the derived
     * tables. Returns the number of newly processed partitions.
@@ -261,6 +268,22 @@ object Ingest {
     timed(cfg, "commit concepts") { store.commitReplace("concepts", conceptsCanon, allParts) }
     timed(cfg, "commit edges") { store.commitReplace("edges", edgesCanon, allParts) }
     timed(cfg, "commit canon_map") { store.commitReplace("canon_map", canonMap, allParts) }
+
+    // rules: explicit (normative sentences, E9) + derived (one per unique
+    // canonical edge pair, flat.py invariant)
+    val canonConceptNames = conceptsCanon
+      .groupBy(col("canonical_id").as("id"))
+      .agg(min(col("name")).as("name"))
+    val explicit = graft.rules.Rules.explicitRules(
+      ruleSentencesOf(staged), canonConceptNames, cfg.domain)(spark)
+    val derived = graft.rules.Rules.derivedRules(
+      edgesCanon.select("source_id", "target_id", "relation_type", "confidence"),
+      canonConceptNames, cfg.domain)(spark)
+      .withColumn("source_id", lit(null).cast("string"))
+      .select("id", "text", "domain", "source_id", "concept_ids", "category", "confidence")
+    timed(cfg, "commit rules") {
+      store.commitReplace("rules", explicit.unionByName(derived), allParts)
+    }
 
     // prune drop stats per snapshot → lineage_prune
     val pruneStats = tagged

@@ -1,0 +1,96 @@
+package graft.query
+
+import graft.core.Embeddings
+import graft.graph.Ppr
+import graft.ops.Similarity
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** GraphRAG-style hybrid retrieval over the constructed KG — the
+  * distributed analog of GraphRAGAdapter.retrieve
+  * (src/qortex/hippocampus/adapter.py:318-425):
+  *
+  *   1. embed the query, vector-search the concept table with
+  *      fetch_k = max(3·k, 30) (adapter.py:427-512)   [T1]
+  *   2. weight seeds by teleportation factors, normalize to sum 1
+  *      (factors.py:88-100)                            [A6]
+  *   3. PPR from the seeds (damping 0.85)              [G1]
+  *   4. score = 0.5·vec + 0.5·(ppr / max ppr), top-k
+  *      (adapter.py:546-592; max-normalization at :559-562) [T2, A8]
+  *
+  * All stages are DataFrame ops; the only driver-side values are the query
+  * vector (broadcast via literal) and scalar aggregates.
+  */
+object Retrieval {
+
+  /** T1 — brute-force cosine search of the concept table's embedding
+    * column against one query vector.
+    */
+  def vectorSearch(
+      concepts: DataFrame, // (id, name, embedding)
+      queryVec: Array[Float],
+      fetchK: Int
+  )(implicit spark: SparkSession): DataFrame = {
+    val q = typedLit(queryVec.toSeq)
+    concepts
+      .select(col("id"), col("name"),
+        Similarity.cosineUdf(col("embedding"), q).as("vec_score"))
+      .orderBy(col("vec_score").desc, col("id").asc)
+      .limit(fetchK)
+  }
+
+  /** Full hybrid retrieval. `factors`: (node_id, factor) teleportation
+    * table (may be empty → uniform 1.0, factors.py:36-70).
+    */
+  def retrieve(
+      concepts: DataFrame, // (id, name, embedding)
+      edges: DataFrame, // (source_id, target_id, confidence)
+      factors: DataFrame, // (node_id, factor)
+      queryText: String,
+      topK: Int = 5
+  )(implicit spark: SparkSession): DataFrame = {
+    val k = math.max(1, math.min(topK, 1000)) // top_k clamp (service.py:421-422)
+    val fetchK = math.max(3 * k, 30) // adapter.py:427-512
+    val queryVec = Embeddings.embed(queryText)
+
+    val seeds = vectorSearch(concepts, queryVec, fetchK)
+
+    // A6: seed weights = vec score × teleportation factor, clamped [0.1,5]
+    val weighted = seeds
+      .join(broadcast(factors.select(col("node_id").as("id"), col("factor"))), Seq("id"), "left")
+      .withColumn("weight",
+        col("vec_score") * least(lit(5.0), greatest(lit(0.1), coalesce(col("factor"), lit(1.0)))))
+      .select(col("id"), col("name"), col("vec_score"), col("weight"))
+
+    val ppr = Ppr.run(edges, weighted.select(col("id"), col("weight")),
+      damping = 0.85, tol = 1e-4, maxIter = 30)
+
+    // A8: ppr / max(ppr); T2: blend 0.5/0.5, top-k
+    val maxPpr = ppr.agg(max(col("rank"))).collect()(0)
+    val maxV = if (maxPpr.isNullAt(0) || maxPpr.getDouble(0) <= 0) 1.0 else maxPpr.getDouble(0)
+    weighted
+      .join(ppr.withColumnRenamed("rank", "ppr"), Seq("id"), "left")
+      .withColumn("combined",
+        lit(0.5) * col("vec_score") + lit(0.5) * (coalesce(col("ppr"), lit(0.0)) / lit(maxV)))
+      .orderBy(col("combined").desc, col("id").asc)
+      .limit(k)
+      .select("id", "name", "vec_score", "ppr", "combined")
+  }
+
+  /** J6/J7 — online similarity edges among a candidate set (all-pairs
+    * cosine ≥ threshold, adapter.py:627-663) plus the KG-coverage ratio
+    * persistent/(persistent+online) (adapter.py:377-388).
+    */
+  def onlineEdges(
+      candidates: DataFrame, // (id, embedding)
+      threshold: Double = 0.7 // online_sim_threshold (adapter.py:278)
+  )(implicit spark: SparkSession): DataFrame = {
+    val a = candidates.select(col("id").as("id_a"), col("embedding").as("va"))
+    val b = candidates.select(col("id").as("id_b"), col("embedding").as("vb"))
+    a.crossJoin(b)
+      .filter(col("id_a") < col("id_b")) // undirected (least,greatest) key, buffer.py:77
+      .withColumn("cosine", Similarity.cosineUdf(col("va"), col("vb")))
+      .filter(col("cosine") >= threshold)
+      .select("id_a", "id_b", "cosine")
+  }
+}
