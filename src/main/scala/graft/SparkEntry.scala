@@ -33,9 +33,21 @@ object SparkEntry {
   }
 
   // ---- shared KG sub-pipeline over generated pages (rows-only checks) ----
+  // The ten q25–q34 queries share one 300-page extraction: cache it per
+  // session (it is ~1 MB) so the verify harness extracts once, not ten times.
+  private val kgCache =
+    new java.util.concurrent.atomic.AtomicReference[(SparkSession, DataFrame)]()
+
   private def kgExtractions(spark: SparkSession): DataFrame = {
-    implicit val s = spark
-    Ingest.extract(PagesGen.pages(spark, 300), Ingest.Config()).toDF()
+    val cached = kgCache.get()
+    if (cached != null && (cached._1 eq spark)) cached._2
+    else {
+      implicit val s = spark
+      val df = Ingest.extract(PagesGen.pages(spark, 300), Ingest.Config()).toDF()
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      kgCache.set((spark, df))
+      df
+    }
   }
 
   /** The random synthetic embeddings contain no true near-duplicates, so
