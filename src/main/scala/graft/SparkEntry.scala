@@ -32,21 +32,59 @@ object SparkEntry {
     Ingest.triplesOf(Ingest.extract(pages, Ingest.Config()).toDF())
   }
 
-  // ---- shared KG sub-pipeline over generated pages (rows-only checks) ----
-  // The ten q25–q34 queries share one 300-page extraction: cache it per
-  // session (it is ~1 MB) so the verify harness extracts once, not ten times.
-  private val kgCache =
-    new java.util.concurrent.atomic.AtomicReference[(SparkSession, DataFrame)]()
+  // ---- shared KG sub-pipeline over generated pages ----
+  // The q25–q34 queries share one 300-page extraction AND its derived
+  // concepts/pruned-edges frames. Each shared frame is localCheckpoint-ed:
+  // that both caches the data and truncates the logical plan to a leaf, so
+  // a query consuming `edges` plans against a leaf instead of re-optimizing
+  // the whole extraction→linking→pruning tree (the round-1 q29/q33
+  // pathology). concepts/edges are lazy: the first consumer (q26/q27 in
+  // driver order) pays and thereby *measures* that stage.
+  final class KgShared(spark: SparkSession) {
+    private implicit val s: SparkSession = spark
+    val ex: DataFrame =
+      Ingest.extract(PagesGen.pages(spark, 300), Ingest.Config()).toDF().localCheckpoint()
+    lazy val concepts: DataFrame =
+      Linking.buildConcepts(Ingest.mentionsOf(ex), "web", graft.core.TextSpec.version)
+        .localCheckpoint()
+    lazy val edges: DataFrame =
+      Pruning.prune(Linking.resolveEdges(Ingest.triplesOf(ex), concepts)).localCheckpoint()
+  }
 
-  private def kgExtractions(spark: SparkSession): DataFrame = {
+  /** Absolute path Verify dumps oracle fixtures to; fixture-based oracle SQL
+    * reads them back via DuckDB read_parquet. The fixtures are STAGE INPUTS
+    * (extraction structs, pruned edges, rule sentences) — each fixture-based
+    * oracle re-implements the downstream operator in independent SQL, so the
+    * circularity is limited to the (suite-verified, P/R-1.0) extraction.
+    */
+  val FixturesDir = "/root/repo/target/verify_fixtures"
+
+  /** Dump the fixtures referenced by oracleSql. Verify calls this BEFORE
+    * the driver runs the oracle SQL.
+    */
+  def writeFixtures(spark: SparkSession): Unit = {
+    implicit val s: SparkSession = spark
+    val shared = kg(spark)
+    def w(df: DataFrame, name: String): Unit =
+      df.coalesce(1).write.mode("overwrite").parquet(s"$FixturesDir/$name")
+    w(shared.ex, "extractions")
+    w(shared.edges, "pruned_edges")
+    w(shared.concepts.drop("embedding"), "concepts_lite")
+    val sents = graft.rules.Rules.normativeSentences(Ingest.ruleSentencesOf(shared.ex))
+    w(sents, "rule_sentences")
+    w(graft.rules.Rules.sentenceMentionNames(sents), "rule_mention_names")
+  }
+
+  private val kgCache =
+    new java.util.concurrent.atomic.AtomicReference[(SparkSession, KgShared)]()
+
+  def kg(spark: SparkSession): KgShared = {
     val cached = kgCache.get()
     if (cached != null && (cached._1 eq spark)) cached._2
     else {
-      implicit val s = spark
-      val df = Ingest.extract(PagesGen.pages(spark, 300), Ingest.Config()).toDF()
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      kgCache.set((spark, df))
-      df
+      val shared = new KgShared(spark)
+      kgCache.set((spark, shared))
+      shared
     }
   }
 
@@ -190,69 +228,71 @@ object SparkEntry {
     }),
     "q21_dedup_embed" -> ((s, dir) => {
       implicit val sp = s
+      // round(6): DuckDB's list_cosine_similarity accumulates in a
+      // different order than our loop — identical to the last ulp only
       Dedup.embeddingCosine(withNearDups(s, dir), threshold = 0.95)
+        .withColumn("cosine", round(col("cosine"), 6))
     }),
     "q22_langid" -> ((s, dir) => TextAnalysis.langId(t(s, dir, "documents"))),
     "q23_fingerprint" -> ((s, dir) => TextAnalysis.fingerprints(t(s, dir, "documents"))),
     "q24_mm_features" -> ((s, dir) => {
       implicit val sp = s
+      // features serialized to JSON: the driver's checker sorts/hashes rows
+      // in pandas, which cannot hash raw array columns
       Multimodal.extractFeatures(Multimodal.synthesizeFromDocuments(t(s, dir, "documents")))
+        .select(col("media_id"), col("kind"), col("n_bytes"),
+          to_json(col("features")).as("features_json"))
     }),
     // ---------- KG construction over deterministic generated pages ------
     "q25_kg_triples" -> ((s, _) => {
       implicit val sp = s
-      Ingest.triplesOf(kgExtractions(s))
+      Ingest.triplesOf(kg(s).ex)
     }),
     "q26_kg_concepts" -> ((s, _) => {
-      implicit val sp = s
-      Linking.buildConcepts(Ingest.mentionsOf(kgExtractions(s)), "web", graft.core.TextSpec.version)
+      // embedding dropped from the driver-facing projection (array column;
+      // its determinism is suite-pinned), dim kept as a scalar witness
+      kg(s).concepts.select(
+        col("id"), col("name"), col("description"), col("domain"),
+        col("source_id"), col("source_location"), col("confidence"),
+        col("mention_count"), size(col("embedding")).as("embedding_dim"),
+        col("embedding_model"), col("extractor_version"))
     }),
-    "q27_kg_edges_pruned" -> ((s, _) => {
-      implicit val sp = s
-      val ex = kgExtractions(s)
-      val concepts = Linking.buildConcepts(Ingest.mentionsOf(ex), "web", graft.core.TextSpec.version)
-      Pruning.prune(Linking.resolveEdges(Ingest.triplesOf(ex), concepts))
-    }),
+    "q27_kg_edges_pruned" -> ((s, _) => kg(s).edges),
     "q28_kg_canon_map" -> ((s, _) => {
       implicit val sp = s
-      val ex = kgExtractions(s)
-      val concepts = Linking.buildConcepts(Ingest.mentionsOf(ex), "web", graft.core.TextSpec.version)
-      Canon.canonicalMap(concepts, Ingest.aliasesOf(ex), 0.75)
+      val shared = kg(s)
+      Canon.canonicalMap(shared.concepts, Ingest.aliasesOf(shared.ex), 0.75)
     }),
     "q29_ppr" -> ((s, _) => {
       implicit val sp = s
       import sp.implicits._
-      val ex = kgExtractions(s)
-      val concepts = Linking.buildConcepts(Ingest.mentionsOf(ex), "web", graft.core.TextSpec.version)
-      val edges = Pruning.prune(Linking.resolveEdges(Ingest.triplesOf(ex), concepts))
       val seeds = Seq(("web:The Platform", 1.0)).toDF("id", "weight")
-      // tol/maxIter trimmed for the verify harness — convergence-to-1e-6
-      // behavior is pinned by GraphSuite against a dense reference
-      graft.graph.Ppr.run(edges, seeds, tol = 1e-4, maxIter = 25)
+      // fixed 25 iterations (tol=0) → deterministic, oracle-comparable;
+      // convergence-to-1e-6 behavior is pinned by GraphSuite against a
+      // dense reference
+      graft.graph.Ppr.run(kg(s).edges, seeds, tol = 0.0, maxIter = 25)
         .withColumn("rank", round(col("rank"), 6))
     }),
     "q31_rules_explicit" -> ((s, _) => {
       implicit val sp = s
-      val ex = kgExtractions(s)
-      val concepts = Linking.buildConcepts(Ingest.mentionsOf(ex), "web", graft.core.TextSpec.version)
-      graft.rules.Rules.explicitRules(Ingest.ruleSentencesOf(ex), concepts, "web")
+      val shared = kg(s)
+      graft.rules.Rules.explicitRules(Ingest.ruleSentencesOf(shared.ex), shared.concepts, "web")
+        .withColumn("concept_ids", concat_ws(",", col("concept_ids")))
     }),
     "q32_rules_derived" -> ((s, _) => {
       implicit val sp = s
-      val ex = kgExtractions(s)
-      val concepts = Linking.buildConcepts(Ingest.mentionsOf(ex), "web", graft.core.TextSpec.version)
-      val edges = Pruning.prune(Linking.resolveEdges(Ingest.triplesOf(ex), concepts))
+      val shared = kg(s)
       graft.rules.Rules.derivedRules(
-        edges.select("source_id", "target_id", "relation_type", "confidence"), concepts, "web")
+        shared.edges.select("source_id", "target_id", "relation_type", "confidence"),
+        shared.concepts, "web")
+        .withColumn("concept_ids", concat_ws(",", col("concept_ids")))
     }),
     "q33_retrieval_hybrid" -> ((s, _) => {
       implicit val sp = s
       import sp.implicits._
-      val ex = kgExtractions(s)
-      val concepts = Linking.buildConcepts(Ingest.mentionsOf(ex), "web", graft.core.TextSpec.version)
-      val edges = Pruning.prune(Linking.resolveEdges(Ingest.triplesOf(ex), concepts))
+      val shared = kg(s)
       val factors = Seq.empty[(String, Double)].toDF("node_id", "factor")
-      graft.query.Retrieval.retrieve(concepts, edges, factors,
+      graft.query.Retrieval.retrieve(shared.concepts, shared.edges, factors,
         "platform access control tokens", topK = 10)
         .withColumn("vec_score", round(col("vec_score"), 4))
         .withColumn("combined", round(col("combined"), 4))
@@ -261,11 +301,8 @@ object SparkEntry {
     "q34_bfs_neighborhood" -> ((s, _) => {
       implicit val sp = s
       import sp.implicits._
-      val ex = kgExtractions(s)
-      val concepts = Linking.buildConcepts(Ingest.mentionsOf(ex), "web", graft.core.TextSpec.version)
-      val edges = Pruning.prune(Linking.resolveEdges(Ingest.triplesOf(ex), concepts))
       val seeds = Seq("web:The Platform").toDF("id")
-      graft.graph.Bfs.patternCompletion(edges, seeds, maxDepth = 2)
+      graft.graph.Bfs.patternCompletion(kg(s).edges, seeds, maxDepth = 2)
     }),
     "q30_edge_promotion" -> ((s, dir) => {
       implicit val sp = s
@@ -279,6 +316,7 @@ object SparkEntry {
         .crossJoin(s.range(3).select(col("id").as("rep")))
         .drop("rep")
       graft.streaming.EdgePromotion.promoteBatch(obs)
+        .withColumn("confidence", round(col("confidence"), 6))
     })
   )
 
@@ -341,7 +379,9 @@ object SparkEntry {
         | CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
         |FROM events GROUP BY 1, 2""".stripMargin,
     "q11_doc_lang_stats" ->
-      """SELECT lang, COUNT(*) AS n_docs, SUM(n_chars) AS total_chars
+      // CAST: DuckDB SUM(BIGINT) yields HUGEINT (int128) — the driver's
+      // hasher then sees different value types than Spark's BIGINT
+      """SELECT lang, COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS total_chars
         |FROM documents GROUP BY lang""".stripMargin,
     "q12_doc_tokens" ->
       """SELECT doc_id,
@@ -361,6 +401,194 @@ object SparkEntry {
         |FROM documents""".stripMargin,
     "q15_embed_stats" ->
       """SELECT label, COUNT(*) AS n_vectors, MIN(len(embedding)) AS dim
-        |FROM embeddings GROUP BY label""".stripMargin
+        |FROM embeddings GROUP BY label""".stripMargin,
+
+    // ---------- ops oracles (DuckDB re-implementations) ----------
+    "q16_knn_brute" ->
+      """WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 5),
+        |c AS (SELECT vec_id AS neighbor_id, embedding AS nv FROM embeddings),
+        |s AS (SELECT query_id, neighbor_id,
+        |        list_cosine_similarity(CAST(qv AS DOUBLE[]), CAST(nv AS DOUBLE[])) AS cosine
+        |      FROM q, c WHERE query_id <> neighbor_id),
+        |r AS (SELECT query_id, neighbor_id, cosine,
+        |        ROW_NUMBER() OVER (PARTITION BY query_id
+        |          ORDER BY cosine DESC, neighbor_id ASC) AS rank
+        |      FROM s)
+        |SELECT query_id, neighbor_id, round(cosine, 4) AS cosine, CAST(rank AS INT) AS rank
+        |FROM r WHERE rank <= 5""".stripMargin,
+    "q21_dedup_embed" ->
+      // ground-truth all-pairs cosine (the operator's banded LSH must reach
+      // recall 1.0 on this corpus for the hashes to match)
+      """WITH base AS (
+        |  SELECT vec_id, embedding FROM embeddings
+        |  UNION ALL
+        |  SELECT vec_id + 1000000,
+        |    list_prepend(CAST(embedding[1] + CAST(0.01 AS FLOAT) AS FLOAT), embedding[2:])
+        |  FROM embeddings WHERE vec_id % 10 = 0)
+        |SELECT id_a, id_b, round(cosine, 6) AS cosine FROM (
+        |  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        |    list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+        |                           CAST(b.embedding AS DOUBLE[])) AS cosine
+        |  FROM base a, base b WHERE a.vec_id < b.vec_id)
+        |WHERE cosine >= 0.95""".stripMargin,
+    "q22_langid" ->
+      """WITH d AS (
+        |  SELECT doc_id, lang AS labeled_lang,
+        |    list_slice(regexp_split_to_array(lower(coalesce(text,'')), '\s+'), 1, 200) AS toks
+        |  FROM documents),
+        |s AS (SELECT doc_id, labeled_lang,
+        |  len(list_filter(['the','and','of','to','in','is','a'], m -> list_contains(toks, m))) AS n_en,
+        |  len(list_filter(['der','die','und','das','ist','nicht','ein'], m -> list_contains(toks, m))) AS n_de,
+        |  len(list_filter(['el','la','de','que','y','los','una'], m -> list_contains(toks, m))) AS n_es,
+        |  len(list_filter(['le','la','les','des','est','une','et'], m -> list_contains(toks, m))) AS n_fr
+        | FROM d)
+        |SELECT doc_id, labeled_lang,
+        | CASE WHEN greatest(n_en,n_de,n_es,n_fr) = 0 THEN 'unknown'
+        |      WHEN n_fr >= n_en AND n_fr >= n_de AND n_fr >= n_es THEN 'fr'
+        |      WHEN n_es >= n_en AND n_es >= n_de THEN 'es'
+        |      WHEN n_en >= n_de THEN 'en'
+        |      ELSE 'de' END AS predicted_lang
+        |FROM s""".stripMargin,
+    "q23_fingerprint" ->
+      // same rolling polynomial hash (B=257, M=1e9+7, window 16) over the
+      // (all-ASCII) text, expressed with DuckDB list lambdas
+      """SELECT doc_id,
+        | CASE WHEN length(coalesce(text,'')) < 16 THEN 0 ELSE
+        |  list_min(list_transform(range(1, length(text) - 14),
+        |    s -> list_reduce(
+        |           list_prepend(CAST(0 AS BIGINT),
+        |             list_transform(range(s, s + 16), i -> CAST(unicode(text[i]) AS BIGINT))),
+        |           (h, b) -> (h * 257 + b) % 1000000007)))
+        | END AS fingerprint
+        |FROM documents""".stripMargin,
+    "q30_edge_promotion" ->
+      // obs = each cosine≥0.9 near-dup pair seen 3× → hits=3, avg=cosine
+      """WITH base AS (
+        |  SELECT vec_id, embedding FROM embeddings
+        |  UNION ALL
+        |  SELECT vec_id + 1000000,
+        |    list_prepend(CAST(embedding[1] + CAST(0.01 AS FLOAT) AS FLOAT), embedding[2:])
+        |  FROM embeddings WHERE vec_id % 10 = 0),
+        |p AS (
+        |  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        |    list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+        |                           CAST(b.embedding AS DOUBLE[])) AS cosine
+        |  FROM base a, base b WHERE a.vec_id < b.vec_id),
+        |q AS (SELECT CAST(id_a AS VARCHAR) AS na, CAST(id_b AS VARCHAR) AS nb, cosine
+        |      FROM p WHERE cosine >= 0.9)
+        |SELECT least(na, nb) AS source_id, greatest(na, nb) AS target_id,
+        |  'SIMILAR_TO' AS relation_type, round(cosine, 6) AS confidence,
+        |  CAST(3 AS BIGINT) AS hits
+        |FROM q WHERE cosine >= 0.75""".stripMargin,
+
+    // ---------- KG oracles over the Verify-dumped stage-input fixtures ----
+    "q25_kg_triples" ->
+      s"""SELECT t.subj AS subj, t.pred AS pred, t.obj AS obj, t.confidence AS confidence,
+         |       url, day, t.chunk_id AS chunk_id, t.sentence AS sentence,
+         |       '${graft.core.TextSpec.version}' AS extractor_version
+         |FROM (SELECT url, day, unnest(triples) AS t
+         |      FROM read_parquet('$FixturesDir/extractions/*.parquet'))""".stripMargin,
+    "q26_kg_concepts" ->
+      s"""WITH m AS (
+         |  SELECT url, u.chunk_id AS chunk_id, u.name AS name,
+         |         u.description AS description, u.confidence AS confidence
+         |  FROM (SELECT url, unnest(mentions) AS u
+         |        FROM read_parquet('$FixturesDir/extractions/*.parquet'))),
+         |w AS (
+         |  SELECT lower(name) AS k, name, url, chunk_id, description, confidence,
+         |    ROW_NUMBER() OVER (PARTITION BY lower(name)
+         |      ORDER BY confidence DESC, name ASC, url ASC, chunk_id ASC, description ASC) AS rn,
+         |    COUNT(*) OVER (PARTITION BY lower(name)) AS mention_count
+         |  FROM m)
+         |SELECT 'web:' || name AS id, name, description, 'web' AS domain, url AS source_id,
+         |  chunk_id AS source_location, confidence, mention_count,
+         |  CAST(384 AS INT) AS embedding_dim,
+         |  'feature-hash-384-v1' AS embedding_model,
+         |  '${graft.core.TextSpec.version}' AS extractor_version
+         |FROM w WHERE rn = 1""".stripMargin,
+    "q29_ppr" -> pprOracleSql,
+    "q31_rules_explicit" ->
+      s"""WITH sent AS (SELECT text, source_id
+         |              FROM read_parquet('$FixturesDir/rule_sentences/*.parquet')),
+         |cand AS (SELECT text, __n FROM read_parquet('$FixturesDir/rule_mention_names/*.parquet')),
+         |dict AS (SELECT id AS concept_id, lower(name) AS __n
+         |         FROM read_parquet('$FixturesDir/concepts_lite/*.parquet')),
+         |linked AS (SELECT c.text, d.concept_id FROM cand c JOIN dict d USING (__n)),
+         |agg AS (
+         |  SELECT s.text, s.source_id,
+         |    coalesce(array_to_string(list_sort(list(DISTINCT l.concept_id)
+         |      FILTER (l.concept_id IS NOT NULL)), ','), '') AS concept_ids
+         |  FROM sent s LEFT JOIN linked l ON s.text = l.text
+         |  GROUP BY s.text, s.source_id)
+         |SELECT 'rule:' || substr(sha256(text), 1, 16) AS id, text, 'web' AS domain, source_id,
+         |  concept_ids,
+         |  CASE WHEN regexp_matches(lower(text), '\\bnever\\b|\\bdo not\\b|\\bdon''t\\b|\\bavoid\\b')
+         |       THEN 'prohibition' ELSE 'requirement' END AS category,
+         |  CAST(0.8 AS DOUBLE) AS confidence
+         |FROM agg""".stripMargin,
+    "q32_rules_derived" ->
+      s"""WITH e AS (SELECT source_id, target_id, relation_type, confidence,
+         |     ROW_NUMBER() OVER (PARTITION BY source_id, target_id
+         |       ORDER BY confidence DESC, relation_type ASC) AS rn
+         |     FROM read_parquet('$FixturesDir/pruned_edges/*.parquet')),
+         |u AS (SELECT * FROM e WHERE rn = 1),
+         |n AS (SELECT id, name FROM read_parquet('$FixturesDir/concepts_lite/*.parquet')),
+         |t(relation_type, template) AS (VALUES $templateValuesSql),
+         |x AS (SELECT u.source_id, u.target_id, u.confidence, sn.name AS sn, tn.name AS tn,
+         |        coalesce(t.template, '{source} relates to {target}.') AS template
+         |      FROM u JOIN n sn ON u.source_id = sn.id JOIN n tn ON u.target_id = tn.id
+         |      LEFT JOIN t ON u.relation_type = t.relation_type)
+         |SELECT 'drule:' || substr(sha256(source_id || '|' || target_id), 1, 16) AS id,
+         |  replace(replace(template, '{source}', sn), '{target}', tn) AS text,
+         |  'web' AS domain, source_id || ',' || target_id AS concept_ids,
+         |  'derived' AS category, confidence
+         |FROM x""".stripMargin,
+    "q34_bfs_neighborhood" ->
+      s"""WITH e AS (SELECT source_id, target_id
+         |           FROM read_parquet('$FixturesDir/pruned_edges/*.parquet')),
+         |und AS (SELECT source_id AS src, target_id AS dst FROM e
+         |        UNION SELECT target_id, source_id FROM e),
+         |d1 AS (SELECT DISTINCT dst AS id FROM und WHERE src = 'web:The Platform'),
+         |d2 AS (SELECT DISTINCT dst AS id FROM und WHERE src IN (SELECT id FROM d1)),
+         |alln AS (SELECT 'web:The Platform' AS id, CAST(1.0 AS DOUBLE) AS score
+         |        UNION ALL SELECT id, 0.5 FROM d1
+         |        UNION ALL SELECT id, 0.25 FROM d2)
+         |SELECT id, MAX(score) AS score FROM alln GROUP BY id""".stripMargin
   )
+
+  /** Rules.templates rendered as a DuckDB VALUES list — oracle and operator
+    * share one registry, so they cannot drift.
+    */
+  private def templateValuesSql: String =
+    graft.rules.Rules.templates.toSeq.sorted
+      .map { case (k, v) => s"('$k','${v.replace("'", "''")}')" }
+      .mkString(",")
+
+  /** q29's oracle: the same 25-iteration PPR power iteration as a generated
+    * chain of MATERIALIZED CTEs (DuckDB's optimizer blows up on the inlined
+    * 25-deep join tree otherwise). Seed = web:The Platform, weight 1.
+    */
+  private def pprOracleSql: String = {
+    val iters = (1 to 25).map { i =>
+      val prev = s"r${i - 1}"
+      s"""r$i AS MATERIALIZED (
+         |  SELECT p.id, 0.85 * coalesce(c.inflow, 0.0) + 0.15 * p.pers AS rank
+         |  FROM pers p LEFT JOIN (
+         |    SELECT a.dst AS id, SUM(r.rank * a.p) AS inflow
+         |    FROM adj a JOIN $prev r ON r.id = a.src GROUP BY a.dst) c USING (id))""".stripMargin
+    }
+    s"""WITH e AS (SELECT source_id, target_id, confidence
+       |           FROM read_parquet('$FixturesDir/pruned_edges/*.parquet')),
+       |und AS (SELECT source_id AS src, target_id AS dst, CAST(confidence AS DOUBLE) AS w FROM e
+       |        UNION ALL SELECT target_id, source_id, CAST(confidence AS DOUBLE) FROM e),
+       |outw AS (SELECT src, SUM(w) AS wout FROM und GROUP BY src),
+       |adj AS MATERIALIZED (SELECT und.src, und.dst, und.w / outw.wout AS p
+       |                     FROM und JOIN outw USING (src)),
+       |nodes AS (SELECT DISTINCT src AS id FROM adj),
+       |pers AS MATERIALIZED (SELECT id,
+       |    CASE WHEN id = 'web:The Platform' THEN 1.0 ELSE 0.0 END AS pers FROM nodes),
+       |r0 AS MATERIALIZED (SELECT id, pers AS rank FROM pers),
+       |${iters.mkString(",\n")}
+       |SELECT id, round(rank, 6) AS rank FROM r25 WHERE rank > 1e-8""".stripMargin
+  }
 }

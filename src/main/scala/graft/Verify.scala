@@ -16,6 +16,11 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    // oracle fixtures first — the driver's DuckDB pass reads them by path
+    try SparkEntry.writeFixtures(spark)
+    catch { case e: Throwable =>
+      System.err.println(s"[verify] fixtures failed: ${e.getMessage}")
+    }
     SparkEntry.queries.foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")

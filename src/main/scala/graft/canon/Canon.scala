@@ -3,7 +3,6 @@ package graft.canon
 import graft.core.TextSpec
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.storage.StorageLevel
 
 /** Canonicalization: synonym-edge detection + connected-components entity
   * resolution.
@@ -121,7 +120,9 @@ object Canon {
       .select(col(srcCol).as("src"), col(dstCol).as("dst"))
       .union(pairs.select(col(dstCol).as("src"), col(srcCol).as("dst")))
       .distinct()
-      .persist(StorageLevel.MEMORY_AND_DISK)
+      // localCheckpoint (not persist): truncates the upstream plan so each
+      // label-propagation round plans against a leaf, not the full pipeline.
+      .localCheckpoint()
 
     var labels = edges
       .select(col("src").as("id"))
@@ -155,7 +156,11 @@ object Canon {
         System.err.println(
           f"[graft] cc iter $iter: changed=$changed ${(System.nanoTime() - t0) / 1e9}%6.2f s")
     }
-    edges.unpersist()
+    if (changed > 0)
+      System.err.println(
+        s"[graft] WARN connectedComponents hit maxIterations=$maxIterations with " +
+          s"$changed labels still changing — components larger than the round " +
+          s"budget would get split canonical ids; raise maxIterations")
     labels.withColumnRenamed("label", "canonical_id")
   }
 

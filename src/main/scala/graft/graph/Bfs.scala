@@ -19,10 +19,13 @@ object Bfs {
       seeds: DataFrame,
       maxDepth: Int = 2
   )(implicit spark: SparkSession): DataFrame = {
+    // localCheckpoint: truncate the upstream plan once so each depth's join
+    // plans against a leaf instead of re-optimizing the full pipeline tree.
     val und = edges
       .select(col("source_id").as("src"), col("target_id").as("dst"))
       .union(edges.select(col("target_id").as("src"), col("source_id").as("dst")))
       .distinct()
+      .localCheckpoint()
 
     var best = seeds.select(col("id")).distinct().withColumn("score", lit(1.0))
       .localCheckpoint()
@@ -54,20 +57,22 @@ object Bfs {
       seeds: DataFrame,
       maxDepth: Int = 3
   )(implicit spark: SparkSession): DataFrame = {
+    val e = edges.localCheckpoint() // plan leaf — joined once per depth
     var visited = seeds.select(col("id")).distinct().localCheckpoint()
     var frontier = visited
     var depth = 0
-    var collected = edges.limit(0)
+    var collected = e.limit(0)
     while (depth < maxDepth) {
-      val cols = edges.columns.map(col).toIndexedSeq
-      val touched = edges
+      val cols = e.columns.map(col).toIndexedSeq
+      val touched = e
         .join(frontier.withColumnRenamed("id", "source_id"), Seq("source_id"), "left_semi")
         .select(cols: _*)
-        .union(edges.join(frontier.withColumnRenamed("id", "target_id"),
+        .union(e.join(frontier.withColumnRenamed("id", "target_id"),
           Seq("target_id"), "left_semi")
           .select(cols: _*))
       collected = collected.union(touched).dropDuplicates(
         "source_id", "target_id", "relation_type")
+        .localCheckpoint() // union-in-loop would otherwise double the plan per depth
       val neighbors = touched.select(col("source_id").as("id"))
         .union(touched.select(col("target_id").as("id"))).distinct()
       frontier = neighbors.join(visited, Seq("id"), "left_anti").localCheckpoint()

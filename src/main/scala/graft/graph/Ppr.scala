@@ -44,10 +44,14 @@ object Ppr {
       .union(edges.select(col("target_id").as("src"), col("source_id").as("dst"),
         col("confidence").cast("double").as("w")))
     val outW = und.groupBy("src").agg(sum("w").as("wout"))
+    // localCheckpoint (NOT persist): persist caches the *data* but keeps the
+    // full upstream logical plan attached to every derived frame, so each
+    // loop block pays Catalyst re-analysis/optimization of the whole
+    // extraction→linking→pruning tree (measured: 754 s for 25 iterations on
+    // a 1.5k-node graph). Checkpointing truncates the plan to a leaf.
     val adj = und.join(outW, Seq("src"))
       .select(col("src"), col("dst"), (col("w") / col("wout")).as("p"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    adj.count()
+      .localCheckpoint()
 
     val nodes = adj.select(col("src").as("id")).distinct()
       .persist(StorageLevel.MEMORY_AND_DISK)
@@ -64,8 +68,7 @@ object Ppr {
         nodes.join(seeds.withColumnRenamed("id", "id"), Seq("id"), "left")
           .select(col("id"), (coalesce(col("weight"), lit(0.0)) / totalSeed).as("pers"))
       }
-    val persisted = pers.persist(StorageLevel.MEMORY_AND_DISK)
-    persisted.count()
+    val persisted = pers.localCheckpoint()
 
     // Iterations are chained LAZILY in blocks of `blockSize`; each block
     // materializes once (localCheckpoint, truncating lineage) and pays one

@@ -41,24 +41,27 @@ object Linking {
     * is arrival-order dependent and therefore unusable distributed.
     */
   def buildConcepts(mentions: DataFrame, domain: String, extractorVersion: String): DataFrame = {
+    // Single-winner semantics: ALL projected fields come from ONE mention —
+    // the max-confidence one, ties broken by smallest name / url / chunk_id.
+    // min(struct(-confidence, ...)) picks that row in one partial-aggregable
+    // pass (struct ordering is lexicographic over the fields).
     mentions
       .withColumn("__key", lower(col("name")))
       .groupBy(col("__key"))
       .agg(
-        max(col("confidence")).as("confidence"),
-        min(col("name")).as("name"),
-        min(struct(col("url"), col("chunk_id"), col("description"))).as("__src"),
+        min(struct((-col("confidence")).as("nc"), col("name"), col("url"),
+          col("chunk_id"), col("description"))).as("__w"),
         count(lit(1)).as("mention_count"))
       .select(
-        concat(lit(domain), lit(":"), col("name")).as("id"),
-        col("name"),
-        col("__src.description").as("description"),
+        concat(lit(domain), lit(":"), col("__w.name")).as("id"),
+        col("__w.name").as("name"),
+        col("__w.description").as("description"),
         lit(domain).as("domain"),
-        col("__src.url").as("source_id"),
-        col("__src.chunk_id").as("source_location"),
-        col("confidence"),
+        col("__w.url").as("source_id"),
+        col("__w.chunk_id").as("source_location"),
+        (-col("__w.nc")).cast("double").as("confidence"),
         col("mention_count"),
-        embedUdf(col("name"), col("__src.description")).as("embedding"),
+        embedUdf(col("__w.name"), col("__w.description")).as("embedding"),
         lit("feature-hash-384-v1").as("embedding_model"),
         lit(extractorVersion).as("extractor_version"))
   }

@@ -17,6 +17,35 @@ import org.apache.spark.sql.functions._
   */
 object Dedup {
 
+  /** Cap a bucketed candidate frame: buckets with more than `cap` members
+    * (degenerate boilerplate buckets — the web-scale failure mode) are
+    * DROPPED before the within-bucket self-join can go |bucket|². Same
+    * pattern as Canon.nameSimilarityPairs' blockCap. The number of dropped
+    * buckets is reported via the returned (pruned, droppedBuckets) pair —
+    * callers surface it so capping is never silent.
+    */
+  def capBuckets(
+      bucketed: DataFrame,
+      keyCols: Seq[String],
+      cap: Long
+  ): (DataFrame, DataFrame) = {
+    val keys = keyCols.map(col)
+    val sizes = bucketed.groupBy(keys: _*).agg(count(lit(1)).as("__bn"))
+    val kept = bucketed
+      .join(sizes.filter(col("__bn") <= cap), keyCols)
+      .drop("__bn")
+    val dropped = sizes.filter(col("__bn") > cap)
+    (kept, dropped)
+  }
+
+  /** Surface capped buckets (GRAFT_VERBOSE gates the extra count job). */
+  private def logDropped(op: String, dropped: DataFrame): Unit =
+    if (sys.env.contains("GRAFT_VERBOSE")) {
+      val n = dropped.count()
+      if (n > 0)
+        System.err.println(s"[graft] $op: dropped $n over-cap LSH buckets (quadratic guard)")
+    }
+
   /** Exact dedup: keep the smallest doc_id per identical text.
     * groupBy(md5) rather than groupBy(text) so the shuffle carries 16
     * bytes per key instead of the document body.
@@ -65,10 +94,11 @@ object Dedup {
     * Output: (id_a, id_b) with id_a < id_b, plus the estimated Jaccard
     * from signature agreement.
     */
-  def minhashLsh(docs: DataFrame, idCol: String = "doc_id")(implicit spark: SparkSession): DataFrame = {
+  def minhashLsh(docs: DataFrame, idCol: String = "doc_id", bucketCap: Long = 10000L)(
+      implicit spark: SparkSession): DataFrame = {
     val sigs = docs
       .select(col(idCol).as("id"), minhashUdf(col("text")).as("sig"))
-    val banded = sigs.select(
+    val allBanded = sigs.select(
       col("id"), col("sig"),
       explode(array((0 until Bands).map { b =>
         struct(lit(b).as("band"),
@@ -76,6 +106,11 @@ object Dedup {
             .as("bucket"))
       }: _*)).as("bb"))
       .select(col("id"), col("sig"), col("bb.band"), col("bb.bucket"))
+    // degenerate-bucket guard: a boilerplate-heavy band bucket would go
+    // |bucket|² in the self-join below; pairs in a dropped bucket usually
+    // still meet through one of the other 7 bands
+    val (banded, droppedB) = capBuckets(allBanded, Seq("band", "bucket"), bucketCap)
+    logDropped("minhashLsh", droppedB)
 
     val a = banded.select(col("band"), col("bucket"), col("id").as("id_a"), col("sig").as("sig_a"))
     val b = banded.select(col("band"), col("bucket"), col("id").as("id_b"), col("sig").as("sig_b"))
@@ -114,15 +149,20 @@ object Dedup {
     * Hamming distance ≤ 3 of each other share at least one chunk when bits
     * spread uniformly), verify with exact popcount.
     */
-  def simhash(docs: DataFrame, maxHamming: Int = 3, idCol: String = "doc_id")(
+  def simhash(docs: DataFrame, maxHamming: Int = 3, idCol: String = "doc_id",
+      bucketCap: Long = 10000L)(
       implicit spark: SparkSession): DataFrame = {
     val sigs = docs.select(col(idCol).as("id"), simhashUdf(col("text")).as("sig"))
-    val chunked = sigs.select(
+    val allChunked = sigs.select(
       col("id"), col("sig"),
       explode(array((0 until 4).map(c =>
         struct(lit(c).as("chunk"),
           shiftright(col("sig"), c * 16).bitwiseAND(lit(0xffffL)).as("key"))): _*)).as("ck"))
       .select(col("id"), col("sig"), col("ck.chunk"), col("ck.key"))
+    // 16-bit chunks give only 65 536 buckets — at 10⁹ docs a bucket holds
+    // ~15 k rows, so the cap is what keeps the self-join from ~10⁸ pairs
+    val (chunked, droppedB) = capBuckets(allChunked, Seq("chunk", "key"), bucketCap)
+    logDropped("simhash", droppedB)
     val a = chunked.select(col("chunk"), col("key"), col("id").as("id_a"), col("sig").as("sig_a"))
     val b = chunked.select(col("chunk"), col("key"), col("id").as("id_b"), col("sig").as("sig_b"))
     a.join(b, Seq("chunk", "key"))
@@ -171,20 +211,25 @@ object Dedup {
       .select("id_a", "id_b", "jaccard")
   }
 
-  /** Embedding-cosine near-dup: normalized vectors, LSH-bucketed by random
-    * hyperplane signs (see Similarity.planeSignature), verify with exact
-    * cosine ≥ threshold.
+  /** Embedding-cosine near-dup: banded random-hyperplane LSH (4 bands ×
+    * 16 planes — candidates share ANY full band, recall ≈ 1 at cosine ≥
+    * 0.95; see Similarity.bandedSignatureUdf), verify with exact cosine ≥
+    * threshold. Buckets capped against boilerplate skew.
     */
   def embeddingCosine(embeddings: DataFrame, threshold: Double = 0.95,
-      idCol: String = "vec_id", vecCol: String = "embedding")(
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      bucketCap: Long = 10000L)(
       implicit spark: SparkSession): DataFrame = {
-    val sigs = embeddings.select(
-      col(idCol).as("id"), col(vecCol).as("vec"),
-      Similarity.planeSignatureUdf(col(vecCol)).as("sig"))
-    val a = sigs.select(col("sig"), col("id").as("id_a"), col("vec").as("va"))
-    val b = sigs.select(col("sig"), col("id").as("id_b"), col("vec").as("vb"))
-    a.join(b, Seq("sig"))
+    val allSigs = embeddings
+      .select(col(idCol).as("id"), col(vecCol).as("vec"),
+        posexplode(Similarity.bandedSignatureUdf(col(vecCol))).as(Seq("band", "key")))
+    val (sigs, droppedB) = capBuckets(allSigs, Seq("band", "key"), bucketCap)
+    logDropped("embeddingCosine", droppedB)
+    val a = sigs.select(col("band"), col("key"), col("id").as("id_a"), col("vec").as("va"))
+    val b = sigs.select(col("band"), col("key"), col("id").as("id_b"), col("vec").as("vb"))
+    a.join(b, Seq("band", "key"))
       .filter(col("id_a") < col("id_b"))
+      .dropDuplicates("id_a", "id_b") // a pair can meet in several bands
       .withColumn("cosine", Similarity.cosineUdf(col("va"), col("vb")))
       .filter(col("cosine") >= threshold)
       .select("id_a", "id_b", "cosine")

@@ -95,6 +95,34 @@ object Similarity {
   val planeSignatureUdf = udf { (v: Seq[Float]) => signatureOf(v, NumPlanes) }
   val planeSignatureNUdf = udf { (v: Seq[Float], planes: Int) => signatureOf(v, planes) }
 
+  /** Banded hyperplane signatures for near-dup detection: `NumBands` bands
+    * of `BandBits` planes each (64 planes total). Two vectors are LSH
+    * candidates when ANY band matches exactly — a cosine-0.999 pair flips
+    * each plane with p ≈ angle/π ≈ 0.005, so missing ALL 4 bands needs ≥4
+    * flipped planes spread across every band (≈1e-5 per pair): recall ≈ 1
+    * where a single 16-plane signature (p_miss ≈ 7%/pair) visibly missed.
+    * Bucket space per band stays 2¹⁶ → skew handled by Dedup.capBuckets.
+    */
+  val BandBits = 16
+  val NumBands = 4
+
+  val bandedSignatureUdf = udf { (v: Seq[Float]) =>
+    if (v == null || v.isEmpty) Seq.fill(NumBands)(0)
+    else
+      (0 until NumBands).map { b =>
+        var sig = 0
+        var k = 0
+        while (k < BandBits) {
+          var dot = 0.0; var d = 0
+          val n = v.length
+          while (d < n) { dot += v(d) * planeComponent(b * BandBits + k, d); d += 1 }
+          if (dot >= 0) sig |= (1 << k)
+          k += 1
+        }
+        sig
+      }
+  }
+
   /** LSH ANN: probe only the query's hyperplane bucket (multi-probe with
     * the exact bucket plus all 1-bit-flip neighbors, trading 17× probe
     * fan-out for recall).

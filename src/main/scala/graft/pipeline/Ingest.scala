@@ -21,12 +21,14 @@ import org.apache.spark.storage.StorageLevel
   * pruning groupBys, CC iterations, and the final columnar writes.
   *
   * Tables (store = Iceberg-style snapshot log, graft.store.SnapshotStore):
-  *   - appendable, per-input-partition: pages_text, chunks, mentions,
-  *     triples_raw, lineage
+  *   - appendable, per-input-partition: extractions (staged per-page
+  *     structs), pages_text, lineage
   *   - derived, rebuilt per commit: concepts, edges, canon_map, triples
   *
-  * Resume: input partitions already listed in the triples_raw snapshot are
-  * skipped; a killed run re-processes only uncommitted partitions.
+  * Resume: each appendable table gates on its OWN snapshot's ingested
+  * partitions; a killed run re-processes only partitions missing from that
+  * table (pages_text/lineage catch up from the staged extractions without
+  * re-extracting).
   */
 object Ingest {
 
@@ -169,29 +171,39 @@ object Ingest {
 
     val inputParts = knownPartitions.getOrElse(
       pages.select(col("day")).distinct().as[String].collect().sorted.toSeq)
-    val done = store.ingestedPartitions("extractions")
-    val todo = inputParts.filterNot(done)
-    if (todo.nonEmpty) {
-      val t0 = System.nanoTime()
-      val slice = pages.filter(col("day").isin(todo: _*))
 
+    // Each appendable table is gated on ITS OWN snapshot's ingestedPartitions
+    // — a kill between the extractions commit and the pages_text/lineage
+    // commits must not permanently drop those partitions from the derived
+    // appendables on resume. pages_text/lineage are cheap re-projections of
+    // the staged extractions table, so catching them up never re-extracts.
+    val t0 = System.nanoTime()
+    val exTodo = inputParts.filterNot(store.ingestedPartitions("extractions"))
+    if (exTodo.nonEmpty) {
+      val slice = pages.filter(col("day").isin(exTodo: _*))
       // Stage the per-page extraction output to parquet in ONE pass — the
       // expensive compute is never recomputed and never cached on-heap
       // (at corpus scale an in-memory persist of this table thrashes GC;
       // downstream views read back column-pruned).
       timed(cfg, "extract+commit extractions") {
-        store.commitAppend("extractions", extract(slice, cfg).toDF(), todo)
+        store.commitAppend("extractions", extract(slice, cfg).toDF(), exTodo)
       }
-      val staged = store.read("extractions").filter(col("day").isin(todo: _*))
+    }
 
+    val ptTodo = inputParts.filterNot(store.ingestedPartitions("pages_text"))
+    if (ptTodo.nonEmpty) {
+      val staged = store.read("extractions").filter(col("day").isin(ptTodo: _*))
       timed(cfg, "commit pages_text") {
         store.commitAppend("pages_text",
           staged.select(col("url"), col("day"), col("text_sha256"),
             col("n_chars"), col("n_chunks")),
-          todo)
+          ptTodo)
       }
+    }
 
-      // per-partition extraction lineage
+    val linTodo = inputParts.filterNot(store.ingestedPartitions("lineage"))
+    if (linTodo.nonEmpty) {
+      val staged = store.read("extractions").filter(col("day").isin(linTodo: _*))
       val wallMs = (System.nanoTime() - t0) / 1000000L
       val lineage = staged
         .groupBy(col("day").as("input_partition"))
@@ -202,11 +214,11 @@ object Ingest {
           sum(size(col("triples"))).as("triples_raw"))
         .withColumn("wall_ms", lit(wallMs))
         .withColumn("extractor_version", lit(TextSpec.version))
-      timed(cfg, "commit lineage") { store.commitAppend("lineage", lineage, todo) }
+      timed(cfg, "commit lineage") { store.commitAppend("lineage", lineage, linTodo) }
     }
 
     timed(cfg, "rebuildDerived total") { rebuildDerived(store, cfg) }
-    todo.size
+    exTodo.size
   }
 
   /** Rebuild concepts / edges / canon_map / triples from the accumulated

@@ -39,21 +39,61 @@ object Retrieval {
       .limit(fetchK)
   }
 
-  /** Full hybrid retrieval. `factors`: (node_id, factor) teleportation
-    * table (may be empty → uniform 1.0, factors.py:36-70).
+  /** Everything one retrieval computes: the ranked results, the ephemeral
+    * online edges (to feed EdgePromotion.promoteBatch — adapter.py:372-375),
+    * and the KG-coverage ratio persistent/(persistent+online)
+    * (adapter.py:377-388).
     */
-  def retrieve(
+  final case class RetrievalOutput(
+      results: DataFrame, // (id, name, vec_score, ppr, combined)
+      onlineEdges: DataFrame, // (id_a, id_b, cosine)
+      kgCoverage: Double)
+
+  /** Full hybrid retrieval — all six steps of GraphRAGAdapter.retrieve
+    * (adapter.py:318-425):
+    *   1. vec search → seed candidates                      [T1]
+    *   2. online cosine edges among candidates (:368-370)   [J6]
+    *   3. online edges exposed for the promotion buffer     [A3 input]
+    *   4. KG coverage = persistent/(persistent+online)      [:377-388]
+    *   5. PPR over persistent ∪ online edges (:514-544,
+    *      extra_edges at :532)                              [G1]
+    *   6. blend 0.5·vec + 0.5·(ppr/max ppr) over the UNION
+    *      of seeds and PPR-activated nodes (:546-566 — a
+    *      non-seed activated node scores with vec = 0)      [T2, A8]
+    *
+    * `factors`: (node_id, factor) teleportation table (may be empty →
+    * uniform 1.0, factors.py:36-70).
+    */
+  def retrieveFull(
       concepts: DataFrame, // (id, name, embedding)
       edges: DataFrame, // (source_id, target_id, confidence)
       factors: DataFrame, // (node_id, factor)
       queryText: String,
-      topK: Int = 5
-  )(implicit spark: SparkSession): DataFrame = {
+      topK: Int = 5,
+      onlineThreshold: Double = 0.7 // online_sim_threshold (adapter.py:278)
+  )(implicit spark: SparkSession): RetrievalOutput = {
     val k = math.max(1, math.min(topK, 1000)) // top_k clamp (service.py:421-422)
-    val fetchK = math.max(3 * k, 30) // adapter.py:427-512
+    val fetchK = math.max(3 * k, 30) // adapter.py:485
     val queryVec = Embeddings.embed(queryText)
 
-    val seeds = vectorSearch(concepts, queryVec, fetchK)
+    // seeds are reused by three downstream stages — checkpoint the tiny
+    // frame so each stage plans against a leaf
+    val seeds = vectorSearch(concepts, queryVec, fetchK).localCheckpoint()
+
+    // step 2: ephemeral online edges among the candidate set
+    val seedEmb = seeds.select(col("id"))
+      .join(concepts.select(col("id"), col("embedding")), Seq("id"))
+    val online = onlineEdges(seedEmb, onlineThreshold).localCheckpoint()
+    val nOnline = online.count()
+
+    // step 4: persistent KG edges with BOTH endpoints among the candidates
+    // (adapter.py:666-674) — two semi-joins, no driver-side sets
+    val seedIds = seeds.select(col("id"))
+    val nPersistent = edges
+      .join(seedIds.withColumnRenamed("id", "source_id"), Seq("source_id"), "left_semi")
+      .join(seedIds.withColumnRenamed("id", "target_id"), Seq("target_id"), "left_semi")
+      .count()
+    val kgCoverage = nPersistent.toDouble / math.max(nPersistent + nOnline, 1L).toDouble
 
     // A6: seed weights = vec score × teleportation factor, clamped [0.1,5]
     val weighted = seeds
@@ -62,20 +102,40 @@ object Retrieval {
         col("vec_score") * least(lit(5.0), greatest(lit(0.1), coalesce(col("factor"), lit(1.0)))))
       .select(col("id"), col("name"), col("vec_score"), col("weight"))
 
-    val ppr = Ppr.run(edges, weighted.select(col("id"), col("weight")),
+    // step 5: PPR over the merged graph (persistent + online extras)
+    val pprEdges = edges.select(col("source_id"), col("target_id"), col("confidence"))
+      .unionByName(online.select(col("id_a").as("source_id"), col("id_b").as("target_id"),
+        col("cosine").as("confidence")))
+    val ppr = Ppr.run(pprEdges, weighted.select(col("id"), col("weight")),
       damping = 0.85, tol = 1e-4, maxIter = 30)
 
-    // A8: ppr / max(ppr); T2: blend 0.5/0.5, top-k
+    // step 6: A8 max-normalization, 0.5/0.5 blend over seeds ∪ activated
     val maxPpr = ppr.agg(max(col("rank"))).collect()(0)
     val maxV = if (maxPpr.isNullAt(0) || maxPpr.getDouble(0) <= 0) 1.0 else maxPpr.getDouble(0)
-    weighted
-      .join(ppr.withColumnRenamed("rank", "ppr"), Seq("id"), "left")
+    val results = weighted.select(col("id"), col("vec_score"))
+      .join(ppr.withColumnRenamed("rank", "ppr"), Seq("id"), "full_outer")
+      .select(col("id"),
+        coalesce(col("vec_score"), lit(0.0)).as("vec_score"),
+        coalesce(col("ppr"), lit(0.0)).as("ppr"))
       .withColumn("combined",
-        lit(0.5) * col("vec_score") + lit(0.5) * (coalesce(col("ppr"), lit(0.0)) / lit(maxV)))
+        lit(0.5) * col("vec_score") + lit(0.5) * (col("ppr") / lit(maxV)))
       .orderBy(col("combined").desc, col("id").asc)
       .limit(k)
+      .join(concepts.select(col("id"), col("name")), Seq("id"), "left") // J4 resolve
+      .orderBy(col("combined").desc, col("id").asc)
       .select("id", "name", "vec_score", "ppr", "combined")
+    RetrievalOutput(results, online, kgCoverage)
   }
+
+  /** Ranked results only (the common call shape). */
+  def retrieve(
+      concepts: DataFrame,
+      edges: DataFrame,
+      factors: DataFrame,
+      queryText: String,
+      topK: Int = 5
+  )(implicit spark: SparkSession): DataFrame =
+    retrieveFull(concepts, edges, factors, queryText, topK).results
 
   /** J6/J7 — online similarity edges among a candidate set (all-pairs
     * cosine ≥ threshold, adapter.py:627-663) plus the KG-coverage ratio

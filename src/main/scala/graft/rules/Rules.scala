@@ -40,14 +40,13 @@ object Rules {
     * Input: (url, text) rows; concepts: (id, name). Output rule rows:
     * (id, text, domain, source_id, concept_ids, category, confidence).
     */
-  def explicitRules(
-      pagesText: DataFrame, // (url, text)
-      concepts: DataFrame, // (id, name)
-      domain: String
-  )(implicit spark: SparkSession): DataFrame = {
+  /** Distinct normative sentences with a deterministic witness source.
+    * Exposed separately so the verify harness can dump it as an oracle
+    * fixture. Output: (text, source_id).
+    */
+  def normativeSentences(pagesText: DataFrame)(implicit spark: SparkSession): DataFrame = {
     import spark.implicits._
-
-    val sentences = pagesText
+    pagesText
       .select(col("url"), col("text"))
       .as[(String, String)]
       .flatMap { case (url, text) =>
@@ -61,31 +60,54 @@ object Rules {
       .toDF("source_id", "text")
       .groupBy("text")
       .agg(min("source_id").as("source_id")) // deterministic witness
+  }
+
+  /** Lowercased mention names detected in each sentence — the Scala-side
+    * half of rule→concept linking (the SQL-checkable joins/groups sit
+    * downstream of this). Output: (text, __n), distinct.
+    */
+  def sentenceMentionNames(sentences: DataFrame)(implicit spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    sentences
+      .select(col("text")).as[String]
+      .flatMap { text =>
+        val toks = graft.extract.DetExtractor.tokens(text)
+        graft.extract.DetExtractor.detectMentions(text, toks).iterator
+          .map(m => (text, m.name.toLowerCase(java.util.Locale.ROOT)))
+      }
+      .toDF("text", "__n")
+      .distinct()
+  }
+
+  def explicitRules(
+      pagesText: DataFrame, // (url, text)
+      concepts: DataFrame, // (id, name)
+      domain: String
+  )(implicit spark: SparkSession): DataFrame = {
+    val sentences = normativeSentences(pagesText)
 
     // concept linking (ingest/base.py:300-306 validation semantics): detect
     // mention spans in the sentence, EQUI-join their lowercased names to the
-    // concept dictionary — never a quadratic containment scan
-    val withCandidates = sentences
-      .as[(String, String)]
-      .flatMap { case (text, src) =>
-        val toks = graft.extract.DetExtractor.tokens(text)
-        graft.extract.DetExtractor.detectMentions(text, toks).iterator
-          .map(m => (text, src, m.name.toLowerCase(java.util.Locale.ROOT)))
-      }
-      .toDF("text", "source_id", "__n")
+    // concept dictionary — never a quadratic containment scan.
+    // All joins/groups key on sha2(text) instead of the full sentence string
+    // — at web scale the sentence table is millions of mostly-unique long
+    // strings, and shuffling/sorting them as keys was the measured memory
+    // cliff of round 1 (511 s at 2 cores vs 33 s at 8 on 800k pages).
+    val keyed = sentences.withColumn("__k", sha2(col("text"), 256))
+    val cand = sentenceMentionNames(sentences)
+      .select(sha2(col("text"), 256).as("__k"), col("__n"))
 
     val names = concepts.select(col("id").as("concept_id"), lower(col("name")).as("__n"))
     val category = when(lower(col("text")).rlike("\\bnever\\b|\\bdo not\\b|\\bdon't\\b|\\bavoid\\b"),
       "prohibition").otherwise("requirement")
 
-    sentences
-      .join(
-        withCandidates.join(names, Seq("__n"))
-          .select(col("text"), col("concept_id")),
-        Seq("text"), "left")
-      .groupBy(col("text"), col("source_id"))
-      .agg(sort_array(collect_set(col("concept_id"))).as("concept_ids"))
-      .withColumn("id", concat(lit("rule:"), sha2(col("text"), 256).substr(1, 16)))
+    keyed
+      .join(cand.join(names, Seq("__n")).select(col("__k"), col("concept_id")),
+        Seq("__k"), "left")
+      .groupBy(col("__k"))
+      .agg(min(col("text")).as("text"), min(col("source_id")).as("source_id"),
+        sort_array(collect_set(col("concept_id"))).as("concept_ids"))
+      .withColumn("id", concat(lit("rule:"), col("__k").substr(1, 16)))
       .withColumn("domain", lit(domain))
       .withColumn("category", category)
       .withColumn("confidence", lit(0.8))

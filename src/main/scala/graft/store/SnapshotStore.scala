@@ -65,6 +65,31 @@ final class SnapshotStore(root: String)(implicit spark: SparkSession) {
     s"""{"id":${s.id},"parent":${s.parent},"batches":$b,"input_partitions":$p}"""
   }
 
+  /** Single left-to-right unescape pass: handles \\, \", \n, \r, \t and
+    * \uXXXX (everything esc() can emit) without the order-sensitivity of
+    * chained replace calls.
+    */
+  private[store] def unescape(s: String): String = {
+    val b = new java.lang.StringBuilder(s.length)
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (c == '\\' && i + 1 < s.length) {
+        s.charAt(i + 1) match {
+          case '"' => b.append('"'); i += 2
+          case '\\' => b.append('\\'); i += 2
+          case 'n' => b.append('\n'); i += 2
+          case 'r' => b.append('\r'); i += 2
+          case 't' => b.append('\t'); i += 2
+          case 'u' if i + 5 < s.length =>
+            b.append(Integer.parseInt(s.substring(i + 2, i + 6), 16).toChar); i += 6
+          case other => b.append(other); i += 2
+        }
+      } else { b.append(c); i += 1 }
+    }
+    b.toString
+  }
+
   private def fromJson(j: String): Snapshot = {
     def longField(name: String): Long =
       s""""$name"\\s*:\\s*(-?\\d+)""".r.findFirstMatchIn(j).map(_.group(1).toLong)
@@ -74,21 +99,24 @@ final class SnapshotStore(root: String)(implicit spark: SparkSession) {
         .getOrElse(sys.error(s"snapshot manifest missing $name"))
       val body = m.group(1).trim
       if (body.isEmpty) Seq.empty
-      else "\"((?:[^\"\\\\]|\\\\.)*)\"".r.findAllMatchIn(body).map { mm =>
-        mm.group(1).replace("\\\"", "\"").replace("\\\\", "\\").replace("\\n", "\n")
-      }.toSeq
+      else "\"((?:[^\"\\\\]|\\\\.)*)\"".r.findAllMatchIn(body).map(mm => unescape(mm.group(1))).toSeq
     }
     Snapshot(longField("id"), longField("parent"), arrField("batches"), arrField("input_partitions"))
   }
 
+  /** Overwrite-rename (no delete-before-rename window): FileContext.rename
+    * with OVERWRITE is atomic on a real FS, so the target always holds
+    * either the old or the new content. Even if a crash were to leave no
+    * LATEST, `latest()` recovers from the max v<N>.json manifest.
+    */
   private def writeAtomic(path: Path, content: String): Unit = {
-    val f = fs(path)
     val tmp = new Path(path.getParent, path.getName + ".tmp-" + System.nanoTime())
+    val f = fs(path)
     val out = f.create(tmp, true)
     try out.write(content.getBytes(StandardCharsets.UTF_8))
     finally out.close()
-    if (f.exists(path)) f.delete(path, false)
-    if (!f.rename(tmp, path)) sys.error(s"atomic rename failed: $tmp -> $path")
+    val ctx = org.apache.hadoop.fs.FileContext.getFileContext(path.toUri, hadoopConf)
+    ctx.rename(tmp, path, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
   }
 
   private def readFile(path: Path): String = {
@@ -103,15 +131,39 @@ final class SnapshotStore(root: String)(implicit spark: SparkSession) {
     } finally in.close()
   }
 
-  /** Latest committed snapshot, if any. */
+  /** Ids of all retained snapshot manifests, ascending. */
+  def snapshotIds(table: String): Seq[Long] = {
+    val d = snapDir(table)
+    val f = fs(d)
+    if (!f.exists(d)) Seq.empty
+    else
+      f.listStatus(d).toSeq
+        .map(_.getPath.getName)
+        .collect { case n if n.startsWith("v") && n.endsWith(".json") =>
+          n.stripPrefix("v").stripSuffix(".json")
+        }
+        .flatMap(s => scala.util.Try(s.toLong).toOption)
+        .sorted
+  }
+
+  /** A specific retained snapshot (time travel read target). */
+  def snapshot(table: String, id: Long): Option[Snapshot] = {
+    val p = new Path(snapDir(table), s"v$id.json")
+    if (fs(p).exists(p)) Some(fromJson(readFile(p))) else None
+  }
+
+  /** Latest committed snapshot, if any. If the LATEST pointer is missing
+    * (e.g. a crash in an older delete-before-rename writer), recover from
+    * the max v<N>.json manifest instead of treating the table as empty —
+    * otherwise snapshot ids would restart at 0 and overwrite batch=00000.
+    */
   def latest(table: String): Option[Snapshot] = {
     val latestPtr = new Path(snapDir(table), "LATEST")
     val f = fs(latestPtr)
-    if (!f.exists(latestPtr)) None
-    else {
+    if (f.exists(latestPtr)) {
       val n = readFile(latestPtr).trim.toLong
       Some(fromJson(readFile(new Path(snapDir(table), s"v$n.json"))))
-    }
+    } else snapshotIds(table).lastOption.flatMap(snapshot(table, _))
   }
 
   /** Input partitions already ingested per the latest snapshot — resume
@@ -172,8 +224,63 @@ final class SnapshotStore(root: String)(implicit spark: SparkSession) {
     */
   def read(table: String): DataFrame = {
     val snap = latest(table).getOrElse(sys.error(s"no committed snapshot for table $table"))
+    readSnapshot(table, snap)
+  }
+
+  /** Time travel: read the table as of a retained snapshot id
+    * (the distributed analog of the reference's checkpoint restore,
+    * src/qortex/checkpoints/manager.py:11-35, core/memory.py:446-494).
+    */
+  def read(table: String, snapshotId: Long): DataFrame = {
+    val snap = snapshot(table, snapshotId)
+      .getOrElse(sys.error(s"no snapshot v$snapshotId for table $table"))
+    readSnapshot(table, snap)
+  }
+
+  private def readSnapshot(table: String, snap: Snapshot): DataFrame = {
     val paths = snap.batches.map(b => new Path(dataDir(table), b).toString)
     if (paths.isEmpty) spark.emptyDataFrame else spark.read.parquet(paths: _*)
+  }
+
+  /** Roll the table back to snapshot `id` by committing a NEW snapshot with
+    * the old snapshot's batch list (history is never rewritten — exactly
+    * Iceberg's rollback semantics; memory.py:446-494 restore_checkpoint).
+    */
+  def rollback(table: String, id: Long): Snapshot = {
+    val target = snapshot(table, id).getOrElse(sys.error(s"no snapshot v$id for $table"))
+    val prev = latest(table).getOrElse(sys.error(s"no snapshots for $table"))
+    val nextId = prev.id + 1
+    val snap = Snapshot(nextId, prev.id, target.batches, target.inputPartitions)
+    writeAtomic(new Path(snapDir(table), s"v$nextId.json"), toJson(snap))
+    writeAtomic(new Path(snapDir(table), "LATEST"), nextId.toString)
+    snap
+  }
+
+  /** Batch-level diff between two retained snapshots: (added, removed). */
+  def diff(table: String, fromId: Long, toId: Long): (Seq[String], Seq[String]) = {
+    val a = snapshot(table, fromId).getOrElse(sys.error(s"no v$fromId")).batches.toSet
+    val b = snapshot(table, toId).getOrElse(sys.error(s"no v$toId")).batches.toSet
+    ((b -- a).toSeq.sorted, (a -- b).toSeq.sorted)
+  }
+
+  /** GC: delete snapshot manifests older than the last `keepLast`, then
+    * delete data batch dirs referenced by NO retained snapshot — including
+    * orphan dirs from killed writes that never committed.
+    */
+  def expire(table: String, keepLast: Int = 2): Seq[String] = {
+    val ids = snapshotIds(table)
+    val (drop, keep) = ids.splitAt(math.max(0, ids.size - math.max(1, keepLast)))
+    val f = fs(tableDir(table))
+    drop.foreach(i => f.delete(new Path(snapDir(table), s"v$i.json"), false))
+    val live = keep.flatMap(snapshot(table, _)).flatMap(_.batches).toSet
+    val dd = dataDir(table)
+    val removed =
+      if (!f.exists(dd)) Seq.empty[String]
+      else
+        f.listStatus(dd).toSeq.map(_.getPath).filterNot(p => live(p.getName)).map { p =>
+          f.delete(p, true); p.getName
+        }
+    removed.sorted
   }
 
   def exists(table: String): Boolean = latest(table).isDefined
