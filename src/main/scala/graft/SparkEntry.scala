@@ -250,12 +250,16 @@ object SparkEntry {
     }),
     "q26_kg_concepts" -> ((s, _) => {
       // embedding dropped from the driver-facing projection (array column;
-      // its determinism is suite-pinned), dim kept as a scalar witness
+      // its determinism is suite-pinned), dim kept as a scalar witness;
+      // properties map flattened to scalar columns for the checker
       kg(s).concepts.select(
         col("id"), col("name"), col("description"), col("domain"),
         col("source_id"), col("source_location"), col("confidence"),
         col("mention_count"), size(col("embedding")).as("embedding_dim"),
-        col("embedding_model"), col("extractor_version"))
+        col("embedding_model"), col("extractor_version"),
+        coalesce(col("properties")("examples"), lit("")).as("prop_examples"),
+        coalesce(col("properties")("concept_role"), lit("")).as("prop_role"),
+        coalesce(col("properties")("illustrates"), lit("")).as("prop_illustrates"))
     }),
     "q27_kg_edges_pruned" -> ((s, _) => kg(s).edges),
     "q28_kg_canon_map" -> ((s, _) => {
@@ -303,6 +307,12 @@ object SparkEntry {
       import sp.implicits._
       val seeds = Seq("web:The Platform").toDF("id")
       graft.graph.Bfs.patternCompletion(kg(s).edges, seeds, maxDepth = 2)
+    }),
+    "q35_code_examples" -> ((s, _) => {
+      implicit val sp = s
+      val shared = kg(s)
+      Ingest.codeExamplesOf(shared.ex, shared.concepts, "web")
+        .withColumn("concept_ids", concat_ws(",", col("concept_ids")))
     }),
     "q30_edge_promotion" -> ((s, dir) => {
       implicit val sp = s
@@ -491,21 +501,46 @@ object SparkEntry {
     "q26_kg_concepts" ->
       s"""WITH m AS (
          |  SELECT url, u.chunk_id AS chunk_id, u.name AS name,
-         |         u.description AS description, u.confidence AS confidence
+         |         u.description AS description, u.confidence AS confidence,
+         |         u.role AS role, u.illustrates AS illustrates
          |  FROM (SELECT url, unnest(mentions) AS u
          |        FROM read_parquet('$FixturesDir/extractions/*.parquet'))),
-         |w AS (
+         |gen AS (SELECT * FROM m WHERE role <> 'illustrative'),
+         |ill AS (SELECT * FROM m WHERE role = 'illustrative'),
+         |base AS (
          |  SELECT lower(name) AS k, name, url, chunk_id, description, confidence,
          |    ROW_NUMBER() OVER (PARTITION BY lower(name)
          |      ORDER BY confidence DESC, name ASC, url ASC, chunk_id ASC, description ASC) AS rn,
          |    COUNT(*) OVER (PARTITION BY lower(name)) AS mention_count
-         |  FROM m)
+         |  FROM gen),
+         |basew AS (SELECT * FROM base WHERE rn = 1),
+         |ex AS (
+         |  SELECT lower(illustrates) AS k,
+         |    CAST(to_json(list_sort(list(struct_pack(name := name, description := description,
+         |      source_location := chunk_id, confidence := confidence)))) AS VARCHAR) AS examples
+         |  FROM ill WHERE illustrates IS NOT NULL GROUP BY 1),
+         |orph AS (
+         |  SELECT lower(name) AS k, name, url, chunk_id, description, confidence, illustrates,
+         |    ROW_NUMBER() OVER (PARTITION BY lower(name)
+         |      ORDER BY confidence DESC, name ASC, url ASC, chunk_id ASC, description ASC,
+         |               illustrates ASC NULLS FIRST) AS rn,
+         |    COUNT(*) OVER (PARTITION BY lower(name)) AS mention_count
+         |  FROM ill
+         |  WHERE lower(coalesce(illustrates, ' ')) NOT IN (SELECT k FROM basew)
+         |    AND lower(name) NOT IN (SELECT k FROM basew))
          |SELECT 'web:' || name AS id, name, description, 'web' AS domain, url AS source_id,
          |  chunk_id AS source_location, confidence, mention_count,
          |  CAST(384 AS INT) AS embedding_dim,
          |  'feature-hash-384-v1' AS embedding_model,
-         |  '${graft.core.TextSpec.version}' AS extractor_version
-         |FROM w WHERE rn = 1""".stripMargin,
+         |  '${graft.core.TextSpec.version}' AS extractor_version,
+         |  coalesce(ex.examples, '') AS prop_examples,
+         |  '' AS prop_role, '' AS prop_illustrates
+         |FROM basew LEFT JOIN ex USING (k) WHERE rn = 1
+         |UNION ALL
+         |SELECT 'web:' || name, name, description, 'web', url, chunk_id, confidence,
+         |  mention_count, CAST(384 AS INT), 'feature-hash-384-v1',
+         |  '${graft.core.TextSpec.version}', '', 'illustrative', coalesce(illustrates, '')
+         |FROM orph WHERE rn = 1""".stripMargin,
     "q29_ppr" -> pprOracleSql,
     "q31_rules_explicit" ->
       s"""WITH sent AS (SELECT text, source_id
@@ -533,16 +568,40 @@ object SparkEntry {
          |     FROM read_parquet('$FixturesDir/pruned_edges/*.parquet')),
          |u AS (SELECT * FROM e WHERE rn = 1),
          |n AS (SELECT id, name FROM read_parquet('$FixturesDir/concepts_lite/*.parquet')),
-         |t(relation_type, template) AS (VALUES $templateValuesSql),
+         |t(relation_type, template, template_id, tcat, severity) AS (VALUES $templateValuesSql),
          |x AS (SELECT u.source_id, u.target_id, u.confidence, sn.name AS sn, tn.name AS tn,
-         |        coalesce(t.template, '{source} relates to {target}.') AS template
+         |        coalesce(t.template, '{source} relates to {target}.') AS template,
+         |        coalesce(t.template_id, '') AS template_id,
+         |        coalesce(t.tcat, 'general') AS category,
+         |        coalesce(t.severity, 'info') AS severity
          |      FROM u JOIN n sn ON u.source_id = sn.id JOIN n tn ON u.target_id = tn.id
          |      LEFT JOIN t ON u.relation_type = t.relation_type)
          |SELECT 'drule:' || substr(sha256(source_id || '|' || target_id), 1, 16) AS id,
          |  replace(replace(template, '{source}', sn), '{target}', tn) AS text,
          |  'web' AS domain, source_id || ',' || target_id AS concept_ids,
-         |  'derived' AS category, confidence
+         |  category, confidence, template_id, severity
          |FROM x""".stripMargin,
+    "q35_code_examples" ->
+      s"""WITH b AS (
+         |  SELECT url, generate_subscripts(code_blocks, 1) - 1 AS idx,
+         |         unnest(code_blocks) AS cb
+         |  FROM read_parquet('$FixturesDir/extractions/*.parquet')),
+         |f AS (SELECT url, idx, cb.code AS code, cb.language AS language,
+         |             cb.description AS description, cb.is_antipattern AS is_antipattern,
+         |             cb.names AS names
+         |      FROM b),
+         |dict AS (SELECT id AS concept_id, lower(name) AS __n
+         |         FROM read_parquet('$FixturesDir/concepts_lite/*.parquet')),
+         |linked AS (
+         |  SELECT url, idx,
+         |    array_to_string(list_sort(list(DISTINCT d.concept_id)), ',') AS concept_ids
+         |  FROM (SELECT url, idx, unnest(names) AS __n FROM f) x
+         |  JOIN dict d USING (__n)
+         |  GROUP BY url, idx)
+         |SELECT 'web:example:' || substr(sha256(f.url || '|' || f.idx), 1, 16) AS id,
+         |  code, language, description, f.url AS source_location,
+         |  coalesce(l.concept_ids, '') AS concept_ids, is_antipattern
+         |FROM f LEFT JOIN linked l ON f.url = l.url AND f.idx = l.idx""".stripMargin,
     "q34_bfs_neighborhood" ->
       s"""WITH e AS (SELECT source_id, target_id
          |           FROM read_parquet('$FixturesDir/pruned_edges/*.parquet')),
@@ -556,12 +615,15 @@ object SparkEntry {
          |SELECT id, MAX(score) AS score FROM alln GROUP BY id""".stripMargin
   )
 
-  /** Rules.templates rendered as a DuckDB VALUES list — oracle and operator
-    * share one registry, so they cannot drift.
+  /** The default template variant per relation type rendered as a DuckDB
+    * VALUES list — oracle and operator share one registry, so they cannot
+    * drift.
     */
   private def templateValuesSql: String =
-    graft.rules.Rules.templates.toSeq.sorted
-      .map { case (k, v) => s"('$k','${v.replace("'", "''")}')" }
+    graft.core.RelationTypes.all.sorted
+      .flatMap(rt => graft.rules.Rules.selectTemplate(rt, None))
+      .map(t => s"('${t.relationType}','${t.template.replace("'", "''")}'," +
+        s"'${t.id}','${t.category}','${t.severity}')")
       .mkString(",")
 
   /** q29's oracle: the same 25-iteration PPR power iteration as a generated

@@ -61,7 +61,11 @@ final case class ConceptRow(
     source_location: String,
     confidence: Double,
     canonical_id: String,
-    extractor_version: String
+    extractor_version: String,
+    // core/models.py:69 ConceptNode.properties — carries the E10
+    // reconciliation outputs: "examples" (JSON array of attached
+    // illustrative mentions) or "concept_role"/"illustrates" for orphans
+    properties: Map[String, String] = Map.empty
 )
 
 final case class EdgeRow(
@@ -73,7 +77,8 @@ final case class EdgeRow(
     source_text: String,
     source_location: String,
     strength: String, // strong | weak       (pruning.py:386-388)
-    layer: String // structural | causal (pruning.py:317-326)
+    layer: String, // structural | causal (pruning.py:317-326)
+    properties: Map[String, String] = Map.empty // core/models.py:86
 )
 
 final case class LineageRow(

@@ -58,7 +58,12 @@ object DetExtractor {
       tokBegin: Int, // token index range within the sentence
       tokEnd: Int, // exclusive
       confidence: Double,
-      description: String
+      description: String,
+      // E10 concept_role (ingest/base.py:166-171): a mention introduced by
+      // "such as" / "for example" / "e.g." is illustrative of the nearest
+      // preceding mention in the sentence (null if none → orphan).
+      role: String = "generalizable",
+      illustrates: String = null
   )
 
   final case class Triple(
@@ -161,7 +166,29 @@ object DetExtractor {
         i = j
       } else i += 1
     }
-    out.result()
+    markIllustrative(toks, out.result())
+  }
+
+  /** E10 pass-1 role tagging: a mention directly preceded by the token pair
+    * "such as" / "for example" / "e g" (from "e.g.") is illustrative; its
+    * parent is the nearest preceding mention in the sentence (the
+    * deterministic stand-in for the LLM's `illustrates` field,
+    * ingest/base.py:166-171, 190-192).
+    */
+  private def markIllustrative(toks: Vector[Token], ms: Vector[Mention]): Vector[Mention] = {
+    if (ms.isEmpty) return ms
+    ms.zipWithIndex.map { case (m, k) =>
+      val b = m.tokBegin
+      val introduced = b >= 2 && {
+        val w1 = toks(b - 2).lower; val w2 = toks(b - 1).lower
+        (w1 == "such" && w2 == "as") ||
+        (w1 == "for" && w2 == "example") ||
+        (w1 == "e" && w2 == "g")
+      }
+      if (!introduced) m
+      else m.copy(role = "illustrative",
+        illustrates = if (k > 0) ms(k - 1).name else null)
+    }
   }
 
   /** Case-insensitive per-document name dedup; higher confidence wins, then

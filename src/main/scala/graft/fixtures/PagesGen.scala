@@ -145,17 +145,41 @@ object PagesGen {
         val full = named(rng.nextInt(named.length))
         sb.append(s"${full} is also known as ${aliases(full)} among platform engineers.\n")
       } else {
-        // normative sentence (explicit-rule source; "must never"/"should
-        // always" carry no relation verb, so the triple set is untouched).
-        // Side RNG so the main stream — and therefore every other
-        // sentence — is identical to earlier corpus versions.
+        // normative sentence (explicit-rule source) or illustrative sentence
+        // (E10 source — "such as"/"for example" mentions carry no relation
+        // verb, so the triple set is untouched). Side RNG so the main
+        // stream — and therefore every other sentence — is identical to
+        // earlier corpus versions.
         val f1 = fillers(rng.nextInt(fillers.length))
         val r2 = new Rng(mix(seed ^ 0x777L) ^ mix(i * 97L + s))
         val obj2 = entities(r2.nextInt(entities.length))
-        if (r2.nextDouble() < 0.5)
+        val roll = r2.nextDouble()
+        if (roll < 0.32)
           sb.append(s"$subj must never bypass $obj2 $f1 in production environments.\n")
-        else
+        else if (roll < 0.64)
           sb.append(s"$subj should always be deployed alongside $obj2 $f1 for resilience reasons.\n")
+        else if (roll < 0.82)
+          // illustrative with parent: obj2 illustrates subj (E10 attach path)
+          sb.append(s"$subj offers integrations such as $obj2 $f1 in production.\n")
+        else if (roll < 0.90) {
+          // sentence-initial illustrative with NO preceding mention → orphan.
+          // "Zephyr" is outside tailAdjectives, so the name never occurs as a
+          // generalizable mention and stays an orphan concept.
+          val orphan = "Zephyr " + tailNouns(((r2.nextLong() >>> 1) % tailNouns.length).toInt)
+          sb.append(s"For example $orphan handles overflow gracefully $f1.\n")
+        } else {
+          // fenced code block (E9 code-example source). The description line
+          // starts with a stopword run so it never forms a spurious mention;
+          // ~half are antipatterns (contrastive-learning signal).
+          val slug = obj2.toLowerCase(java.util.Locale.ROOT).replace(' ', '_')
+          if (r2.nextDouble() < 0.5) {
+            sb.append(s"The following example shows $obj2 usage $f1.\n")
+            sb.append(s"```python\nclient = connect(\"$slug\")\nclient.retry(3)\n```\n")
+          } else {
+            sb.append(s"Do not copy this bad example for $obj2.\n")
+            sb.append(s"```python\nglobals()[\"$slug\"] = 0  # mutates global state\n```\n")
+          }
+        }
       }
       s += 1
     }

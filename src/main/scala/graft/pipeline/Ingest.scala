@@ -33,7 +33,7 @@ import org.apache.spark.storage.StorageLevel
 object Ingest {
 
   final case class MentionLite(chunk_id: String, name: String, description: String,
-      confidence: Double)
+      confidence: Double, role: String, illustrates: String)
   final case class TripleLite(chunk_id: String, subj: String, pred: String, obj: String,
       confidence: Double, sentence: String)
   final case class AliasPair(name_a: String, name_b: String)
@@ -51,7 +51,8 @@ object Ingest {
       mentions: Seq[MentionLite],
       triples: Seq[TripleLite],
       aliases: Seq[AliasPair],
-      rule_sentences: Seq[String]) // normative sentences (explicit rules, E9)
+      rule_sentences: Seq[String], // normative sentences (explicit rules, E9)
+      code_blocks: Seq[graft.extract.CodeExamples.CodeLite]) // fenced code (E9)
 
   /** "X is also known as Y" textual alias rule (canonicalization seed; our
     * spec — plays the role of the reference's illustrative-concept matching,
@@ -101,7 +102,8 @@ object Ingest {
     val triples = Vector.newBuilder[TripleLite]
     for (c <- chunks) {
       val ex = DetExtractor.extract(c.text)
-      mentions ++= ex.mentions.map(m => MentionLite(c.id, m.name, m.description, m.confidence))
+      mentions ++= ex.mentions.map(m =>
+        MentionLite(c.id, m.name, m.description, m.confidence, m.role, m.illustrates))
       triples ++= ex.triples.map(t =>
         TripleLite(c.id, t.subj, t.pred, t.obj, t.confidence, t.sentence))
     }
@@ -109,7 +111,8 @@ object Ingest {
       .map(_.trim).filter(graft.rules.Rules.isNormative).toVector.distinct
     PageExtraction(
       url, day, TextSpec.sha256Hex(text), text.length.toLong, chunks.length,
-      mentions.result(), triples.result(), aliasesIn(text), ruleSentences)
+      mentions.result(), triples.result(), aliasesIn(text), ruleSentences,
+      graft.extract.CodeExamples.extractBlocks(text))
   }
 
   /** Distributed extraction over a slice of the pages table. */
@@ -130,7 +133,8 @@ object Ingest {
       .select(col("url"), col("day"), explode(col("mentions")).as("m"))
       .select(col("url"), col("day"), col("m.chunk_id").as("chunk_id"),
         col("m.name").as("name"), col("m.description").as("description"),
-        col("m.confidence").as("confidence"))
+        col("m.confidence").as("confidence"),
+        col("m.role").as("role"), col("m.illustrates").as("illustrates"))
 
   def triplesOf(extractions: DataFrame): DataFrame =
     extractions
@@ -151,6 +155,32 @@ object Ingest {
   def ruleSentencesOf(extractions: DataFrame): DataFrame =
     extractions
       .select(col("url"), explode(col("rule_sentences")).as("text"))
+
+  /** Code-example table (core/models.py:91-119 shape): exploded fenced
+    * blocks, concept-linked by the detected description mention names —
+    * the same equi-join linking rule as explicit rules.
+    */
+  def codeExamplesOf(extractions: DataFrame, concepts: DataFrame, domain: String): DataFrame = {
+    val blocks = extractions
+      .select(col("url"), posexplode(col("code_blocks")).as(Seq("idx", "b")))
+      .select(col("url"), col("idx"), col("b.code").as("code"),
+        col("b.language").as("language"), col("b.description").as("description"),
+        col("b.is_antipattern").as("is_antipattern"), col("b.names").as("__names"))
+    val dict = concepts.select(col("id").as("concept_id"), lower(col("name")).as("__n"))
+    val linked = blocks
+      .select(col("url"), col("idx"), explode(col("__names")).as("__n"))
+      .join(dict, Seq("__n"))
+      .groupBy("url", "idx")
+      .agg(sort_array(collect_set(col("concept_id"))).as("concept_ids"))
+    blocks
+      .join(linked, Seq("url", "idx"), "left")
+      .withColumn("concept_ids",
+        coalesce(col("concept_ids"), typedLit(Seq.empty[String])))
+      .withColumn("id", concat(lit(s"$domain:example:"),
+        sha2(concat_ws("|", col("url"), col("idx")), 256).substr(1, 16)))
+      .select(col("id"), col("code"), col("language"), col("description"),
+        col("url").as("source_location"), col("concept_ids"), col("is_antipattern"))
+  }
 
   /** Ingest any not-yet-committed input partitions, then rebuild the derived
     * tables. Returns the number of newly processed partitions.
@@ -288,13 +318,20 @@ object Ingest {
       .agg(min(col("name")).as("name"))
     val explicit = graft.rules.Rules.explicitRules(
       ruleSentencesOf(staged), canonConceptNames, cfg.domain)(spark)
+      .withColumn("template_id", lit("")).withColumn("severity", lit(""))
     val derived = graft.rules.Rules.derivedRules(
       edgesCanon.select("source_id", "target_id", "relation_type", "confidence"),
       canonConceptNames, cfg.domain)(spark)
       .withColumn("source_id", lit(null).cast("string"))
-      .select("id", "text", "domain", "source_id", "concept_ids", "category", "confidence")
+      .select("id", "text", "domain", "source_id", "concept_ids", "category", "confidence",
+        "template_id", "severity")
     timed(cfg, "commit rules") {
       store.commitReplace("rules", explicit.unionByName(derived), allParts)
+    }
+
+    timed(cfg, "commit code_examples") {
+      store.commitReplace("code_examples",
+        codeExamplesOf(staged, canonConceptNames, cfg.domain), allParts)
     }
 
     // prune drop stats per snapshot → lineage_prune

@@ -53,16 +53,29 @@ object IngestMain {
     val nConcepts = store.read("concepts").count()
     val nDocs = store.read("pages_text").count()
 
-    // P/R vs the sequential oracle on (canonical) surface names: compare the
-    // RAW triple surface set — the apples-to-apples artifact both sides emit
+    // P/R vs the sequential oracle on raw triple surface sets — the
+    // apples-to-apples artifact both sides emit. The PIPELINE side stays
+    // distributed: tp/counts come from a semi-join + count()s, never a
+    // driver-side collect of the pipeline's triples (at corpus scale that
+    // set is orders of magnitude larger than the oracle slice). The oracle
+    // itself is sequential by construction and bounded by nPages.
     val pipelineTriples = Ingest.triplesOf(store.read("extractions"))
       .select("subj", "pred", "obj").distinct()
-      .collect().map(r => (r.getString(0), r.getString(1), r.getString(2))).toSet
     val tOracle = System.nanoTime()
     val oracle = SeqOracle.run(nPages, cfg = cfg)
     if (cfg.verbose)
       System.err.println(f"[graft] oracle (sequential)      ${(System.nanoTime() - tOracle) / 1e9}%8.2f s")
-    val (p, r) = SeqOracle.precisionRecall(pipelineTriples, oracle.triples)
+    val oracleDf = spark
+      .createDataset(oracle.triples.toSeq)
+      .toDF("subj", "pred", "obj")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val candidateCount = pipelineTriples.count().toDouble
+    val oracleCount = oracleDf.count().toDouble
+    val tp = pipelineTriples.join(oracleDf, Seq("subj", "pred", "obj"), "left_semi")
+      .count().toDouble
+    val p = if (candidateCount == 0) 0.0 else tp / candidateCount
+    val r = if (oracleCount == 0) 0.0 else tp / oracleCount
+    oracleDf.unpersist()
 
     println(
       s"""{"docs":$nDocs,"concepts":$nConcepts,"triples":$nTriples,

@@ -114,36 +114,156 @@ object Rules {
       .select("id", "text", "domain", "source_id", "concept_ids", "category", "confidence")
   }
 
-  /** One canonical template per relation type (core/templates.py keeps 3
-    * per type; the projection picks one by category hint —
-    * flat.py:117-133). `{source}`/`{target}` expand to node names.
+  /** One template variant. Mirrors the registry shape of
+    * core/templates.py:16-26 (id "type:variant", category, severity) with
+    * ORIGINAL template texts — the derivation semantics are the spec, the
+    * prose is ours.
     */
-  val templates: Map[String, String] = Map(
-    "USES" -> "{source} builds on {target}; keep {target} available wherever {source} runs.",
-    "REQUIRES" -> "{source} cannot operate without {target}; provision {target} first.",
-    "CONTAINS" -> "{source} encompasses {target}; changes to {target} stay within {source}.",
-    "IMPLEMENTS" -> "{source} realizes {target}; keep their contracts aligned.",
-    "REFINES" -> "{source} specializes {target}; prefer {source} where its assumptions hold.",
-    "PART_OF" -> "{source} is a component of {target}; version them together.",
-    "SIMILAR_TO" -> "{source} and {target} are interchangeable in many designs; compare before choosing.",
-    "ALTERNATIVE_TO" -> "{source} replaces {target} in some designs; document the trade-off.",
-    "SUPPORTS" -> "{source} strengthens the case for {target}.",
-    "CHALLENGES" -> "{source} works against {target}; mitigate the tension.",
-    "CONTRADICTS" -> "{source} is incompatible with {target}; never assume both.",
-    "BELONGS_TO" -> "{source} belongs to {target}.",
-    "INSTANCE_OF" -> "{source} is an instance of {target}.",
-    "RELATED_TO" -> "{source} relates to {target}; consider them together."
-  )
+  final case class RuleTemplate(
+      id: String,
+      relationType: String,
+      template: String, // contains {source}/{target} placeholders
+      variant: String,
+      category: String, // general | architectural | antipattern
+      severity: String) // info | warning | error
+
+  /** 42 templates — 3 variants per relation type (core/templates.py:33-398
+    * keeps 3 per type; first variant is the default, select_template picks
+    * by category hint — templates.py:419-437).
+    */
+  val templateRegistry: Vector[RuleTemplate] = {
+    def t3(rel: String, v1: (String, String, String, String),
+        v2: (String, String, String, String), v3: (String, String, String, String)) =
+      Vector(v1, v2, v3).map { case (variant, cat, sev, text) =>
+        RuleTemplate(s"${rel.toLowerCase(java.util.Locale.ROOT)}:$variant", rel, text,
+          variant, cat, sev)
+      }
+    t3("USES",
+      ("dependency", "general", "info",
+        "{source} builds on {target}; keep {target} available wherever {source} runs."),
+      ("coupling", "architectural", "warning",
+        "Treat the link from {source} to {target} as a hard dependency; version and deploy them in step."),
+      ("bypass", "antipattern", "warning",
+        "Do not bypass {target} from inside {source}; shortcuts break the dependency contract.")) ++
+    t3("REQUIRES",
+      ("provisioning", "general", "info",
+        "{source} cannot operate without {target}; provision {target} first."),
+      ("ordering", "architectural", "error",
+        "Bring up {target} before {source}; starting {source} without {target} is a deployment error."),
+      ("guard", "antipattern", "warning",
+        "Never ship {source} without validating that {target} is reachable; silent degradation follows.")) ++
+    t3("CONTAINS",
+      ("scope", "general", "info",
+        "{source} encompasses {target}; changes to {target} stay within {source}."),
+      ("boundary", "architectural", "warning",
+        "Changes inside {target} must not leak outside {source}; the containment boundary is the review unit."),
+      ("duplication", "antipattern", "info",
+        "Avoid duplicating {target} outside {source}; containment implies single ownership.")) ++
+    t3("IMPLEMENTS",
+      ("contract", "general", "info",
+        "{source} realizes {target}; keep their contracts aligned."),
+      ("conformance", "architectural", "error",
+        "{source} must satisfy every invariant {target} declares; partial conformance is an error."),
+      ("drift", "antipattern", "warning",
+        "Watch for drift between {source} and {target}; re-verify the contract after changes to either.")) ++
+    t3("REFINES",
+      ("specialization", "general", "info",
+        "{source} specializes {target}; prefer {source} where its assumptions hold."),
+      ("substitution", "architectural", "info",
+        "Where {source} applies, prefer it over the more general {target}."),
+      ("overreach", "antipattern", "warning",
+        "Do not use {source} outside the assumptions it inherits from {target}.")) ++
+    t3("PART_OF",
+      ("composition", "general", "info",
+        "{source} is a component of {target}; version them together."),
+      ("lockstep", "architectural", "warning",
+        "Release {source} in lockstep with {target}; a component cannot outrun its whole."),
+      ("extraction", "antipattern", "info",
+        "Avoid extracting {source} from {target} without re-checking every shared invariant.")) ++
+    t3("SIMILAR_TO",
+      ("comparison", "general", "info",
+        "{source} and {target} are interchangeable in many designs; compare before choosing."),
+      ("choice", "architectural", "info",
+        "Pick exactly one of {source} and {target} per subsystem; mixing near-equivalents multiplies maintenance."),
+      ("conflation", "antipattern", "warning",
+        "Do not treat {source} and {target} as identical; similar is not interchangeable under load.")) ++
+    t3("ALTERNATIVE_TO",
+      ("tradeoff", "general", "info",
+        "{source} replaces {target} in some designs; document the trade-off."),
+      ("migration", "architectural", "info",
+        "When replacing {target} with {source}, write the migration path down before switching."),
+      ("dual-running", "antipattern", "warning",
+        "Avoid running {source} and {target} side by side for the same duty; choose one.")) ++
+    t3("SUPPORTS",
+      ("evidence", "general", "info",
+        "{source} strengthens the case for {target}."),
+      ("reinforcement", "architectural", "info",
+        "Strengthen {target} by investing in {source}; the support relation compounds."),
+      ("overreliance", "antipattern", "warning",
+        "Do not let {target} rest solely on {source}; support is not proof.")) ++
+    t3("CHALLENGES",
+      ("tension", "general", "info",
+        "{source} works against {target}; mitigate the tension."),
+      ("mitigation", "architectural", "warning",
+        "Plan a mitigation wherever {source} works against {target}."),
+      ("denial", "antipattern", "error",
+        "Never ignore that {source} undermines {target}; unaddressed tension becomes an outage.")) ++
+    t3("CONTRADICTS",
+      ("incompatibility", "general", "warning",
+        "{source} is incompatible with {target}; never assume both."),
+      ("mutual-exclusion", "architectural", "error",
+        "{source} and {target} exclude each other; a design using both is invalid."),
+      ("avoidance", "antipattern", "warning",
+        "When committed to {source}, avoid {target} entirely.")) ++
+    t3("BELONGS_TO",
+      ("membership", "general", "info",
+        "{source} belongs to {target}."),
+      ("lifecycle", "architectural", "info",
+        "Manage {source} within the lifecycle of {target}."),
+      ("orphaning", "antipattern", "warning",
+        "Do not detach {source} from {target} without reassigning ownership.")) ++
+    t3("INSTANCE_OF",
+      ("classification", "general", "info",
+        "{source} is an instance of {target}."),
+      ("generalization", "architectural", "info",
+        "Reason about {source} through the rules of {target} first; instance follows class."),
+      ("special-casing", "antipattern", "warning",
+        "Avoid special-casing {source}; as an instance of {target} it should obey the class rules.")) ++
+    t3("RELATED_TO",
+      ("association", "general", "info",
+        "{source} relates to {target}; consider them together."),
+      ("co-review", "architectural", "info",
+        "Review {source} and {target} together; related concepts change together."),
+      ("sprawl", "antipattern", "info",
+        "Avoid deepening the link between {source} and {target} without naming its type."))
+  }
+
+  /** select_template (core/templates.py:419-437): first variant whose
+    * category matches the hint, else the first (default) variant.
+    */
+  def selectTemplate(relationType: String, categoryHint: Option[String]): Option[RuleTemplate] = {
+    val candidates = templateRegistry.filter(_.relationType == relationType)
+    categoryHint.flatMap(h => candidates.find(_.category == h)).orElse(candidates.headOption)
+  }
+
+  /** Default-variant view (back-compat; also feeds the q32 oracle VALUES
+    * list so operator and oracle share one registry).
+    */
+  def templates: Map[String, String] =
+    templateRegistry.groupBy(_.relationType).map { case (k, v) => k -> v.head.template }
 
   /** Derived rules: dedup edges on (source,target) keeping the
     * max-confidence relation (flat.py:96-116 dedups per pair), then expand
-    * the relation's template with the endpoint names (J5: edges ⋈ concepts
-    * twice ⋈ broadcast template registry).
+    * the selected template variant with the endpoint names (J5: edges ⋈
+    * concepts twice ⋈ broadcast template registry; selection by category
+    * hint per flat.py:117-133). Output carries the template provenance the
+    * reference stores in rule metadata (flat.py:135-150).
     */
   def derivedRules(
       edges: DataFrame, // (source_id, target_id, relation_type, confidence)
       concepts: DataFrame, // (id, name)
-      domain: String
+      domain: String,
+      categoryHint: Option[String] = None
   )(implicit spark: SparkSession): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy(col("source_id"), col("target_id"))
@@ -154,7 +274,11 @@ object Rules {
       .drop("__rn")
 
     val names = concepts.select(col("id"), col("name"))
-    val tmpl = spark.createDataFrame(templates.toSeq).toDF("relation_type", "template")
+    val selected = graft.core.RelationTypes.all
+      .flatMap(rt => selectTemplate(rt, categoryHint))
+      .map(t => (t.relationType, t.template, t.id, t.category, t.severity))
+    val tmpl = spark.createDataFrame(selected)
+      .toDF("relation_type", "template", "template_id", "__tcat", "severity")
 
     uniquePairs
       .join(broadcast(names).withColumnRenamed("id", "source_id")
@@ -171,8 +295,11 @@ object Rules {
         sha2(concat_ws("|", col("source_id"), col("target_id")), 256).substr(1, 16)))
       .withColumn("domain", lit(domain))
       .withColumn("concept_ids", array(col("source_id"), col("target_id")))
-      .withColumn("category", lit("derived"))
-      .select("id", "text", "domain", "concept_ids", "category", "confidence")
+      .withColumn("category", coalesce(col("__tcat"), lit("general")))
+      .withColumn("template_id", coalesce(col("template_id"), lit("")))
+      .withColumn("severity", coalesce(col("severity"), lit("info")))
+      .select("id", "text", "domain", "concept_ids", "category", "confidence",
+        "template_id", "severity")
   }
 
   /** J3 retrieval-side linkage: rules joined to activated concepts via
