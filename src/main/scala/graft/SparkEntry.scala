@@ -73,6 +73,8 @@ object SparkEntry {
     val sents = graft.rules.Rules.normativeSentences(Ingest.ruleSentencesOf(shared.ex))
     w(sents, "rule_sentences")
     w(graft.rules.Rules.sentenceMentionNames(sents), "rule_mention_names")
+    w(graft.canon.Canon.synonymEdges(shared.concepts, Ingest.aliasesOf(shared.ex), 0.75),
+      "synonym_pairs")
   }
 
   private val kgCache =
@@ -314,6 +316,69 @@ object SparkEntry {
       Ingest.codeExamplesOf(shared.ex, shared.concepts, "web")
         .withColumn("concept_ids", concat_ws(",", col("concept_ids")))
     }),
+    "q36_service_stats" -> ((s, _) => {
+      implicit val sp = s
+      val shared = kg(s)
+      val explicit = graft.rules.Rules.explicitRules(
+        Ingest.ruleSentencesOf(shared.ex), shared.concepts, "web")
+        .select("id", "domain")
+      val derived = graft.rules.Rules.derivedRules(
+        shared.edges.select("source_id", "target_id", "relation_type", "confidence"),
+        shared.concepts, "web").select("id", "domain")
+      graft.query.Service.knowledgeStats(shared.concepts, shared.edges,
+        explicit.unionByName(derived))
+    }),
+    "q37_factor_drift" -> ((s, dir) => {
+      implicit val sp = s
+      // deterministic synthetic factor table over the embeddings ids,
+      // spanning the full clamp range [0.1, 5.0]
+      val factors = t(s, dir, "embeddings").select(
+        col("vec_id").cast("string").as("node_id"),
+        (lit(0.1) + (col("vec_id") % 50).cast("double") * 0.1).as("factor"))
+      graft.streaming.EdgePromotion.factorDriftSnapshot(factors)
+        .withColumn("mean", round(col("mean"), 6))
+        .withColumn("entropy", round(col("entropy"), 6))
+    }),
+    "q38_name_glob" -> ((s, _) => {
+      graft.query.Service.filterByNameGlob(kg(s).concepts, "*auth*")
+        .select("id", "name")
+    }),
+    "q39_db_schema_kg" -> ((s, _) => {
+      implicit val sp = s
+      import sp.implicits._
+      // deterministic synthetic schema exercising every J8 branch
+      val tables = Seq(
+        ("users", Seq("id", "name", "email"), Seq("id")),
+        ("posts", Seq("id", "title", "body", "rating", "views", "owner_id",
+          "post_template_id"), Seq("id")),
+        ("post_tags", Seq("post_id", "tag_id"), Seq("post_id", "tag_id")),
+        ("tags", Seq("id", "label"), Seq("id")),
+        ("comments", Seq("id", "body", "post_id"), Seq("id"))
+      ).toDF("table_name", "columns", "pk_columns")
+      val fks = Seq(
+        ("posts", "owner_id", "users", "NO ACTION"),
+        ("posts", "post_template_id", "posts", "NO ACTION"),
+        ("post_tags", "post_id", "posts", "CASCADE"),
+        ("post_tags", "tag_id", "tags", "CASCADE"),
+        ("comments", "post_id", "posts", "CASCADE")
+      ).toDF("table_name", "source_column", "ref_table", "on_delete")
+      val constraints = Seq(
+        ("posts", "title_nonempty", "((length(title) > 0))"),
+        ("tags", "label_lower", "(label = lower(label))")
+      ).toDF("table_name", "constraint_name", "check_clause")
+      val (_, edges, rules) = graft.sources.Structured.schemaToKg(
+        tables, fks, constraints, "db")
+      edges.select(col("source_id"), col("target_id"), col("relation_type"),
+        col("source_text"))
+        .unionByName(rules.select(col("concept_ids")(0).as("source_id"),
+          lit("").as("target_id"), col("category").as("relation_type"),
+          col("text").as("source_text")))
+    }),
+    "q40_db_row_text" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      docs.select(col("doc_id"),
+        graft.sources.Structured.serializeNatural(docs, "documents").as("text_nl"))
+    }),
     "q30_edge_promotion" -> ((s, dir) => {
       implicit val sp = s
       // synthetic observation stream: repeated high-cosine pairs from the
@@ -514,11 +579,20 @@ object SparkEntry {
          |    COUNT(*) OVER (PARTITION BY lower(name)) AS mention_count
          |  FROM gen),
          |basew AS (SELECT * FROM base WHERE rn = 1),
+         |exw AS (
+         |  SELECT lower(illustrates) AS k, name, description, chunk_id, confidence,
+         |    ROW_NUMBER() OVER (PARTITION BY lower(illustrates), lower(name)
+         |      ORDER BY confidence DESC, name ASC, description ASC, chunk_id ASC) AS wn
+         |  FROM ill WHERE illustrates IS NOT NULL),
+         |exr AS (
+         |  SELECT k, struct_pack(name := name, description := description,
+         |           source_location := chunk_id, confidence := confidence) AS ex,
+         |    ROW_NUMBER() OVER (PARTITION BY k
+         |      ORDER BY name ASC, description ASC, chunk_id ASC, confidence ASC) AS rn2
+         |  FROM exw WHERE wn = 1),
          |ex AS (
-         |  SELECT lower(illustrates) AS k,
-         |    CAST(to_json(list_sort(list(struct_pack(name := name, description := description,
-         |      source_location := chunk_id, confidence := confidence)))) AS VARCHAR) AS examples
-         |  FROM ill WHERE illustrates IS NOT NULL GROUP BY 1),
+         |  SELECT k, CAST(to_json(list_sort(list(ex))) AS VARCHAR) AS examples
+         |  FROM exr WHERE rn2 <= 20 GROUP BY k),
          |orph AS (
          |  SELECT lower(name) AS k, name, url, chunk_id, description, confidence, illustrates,
          |    ROW_NUMBER() OVER (PARTITION BY lower(name)
@@ -541,6 +615,7 @@ object SparkEntry {
          |  mention_count, CAST(384 AS INT), 'feature-hash-384-v1',
          |  '${graft.core.TextSpec.version}', '', 'illustrative', coalesce(illustrates, '')
          |FROM orph WHERE rn = 1""".stripMargin,
+    "q28_kg_canon_map" -> ccOracleSql,
     "q29_ppr" -> pprOracleSql,
     "q31_rules_explicit" ->
       s"""WITH sent AS (SELECT text, source_id
@@ -602,6 +677,55 @@ object SparkEntry {
          |  code, language, description, f.url AS source_location,
          |  coalesce(l.concept_ids, '') AS concept_ids, is_antipattern
          |FROM f LEFT JOIN linked l ON f.url = l.url AND f.idx = l.idx""".stripMargin,
+    "q39_db_schema_kg" ->
+      // golden: the expected classification of every J8 branch
+      """SELECT * FROM (VALUES
+        | ('db:Post', 'db:User', 'BELONGS_TO', 'FK posts.owner_id -> users'),
+        | ('db:Post', 'db:Post', 'INSTANCE_OF', 'FK posts.post_template_id -> posts'),
+        | ('db:Post Tag', 'db:Post', 'USES', 'FK post_tags.post_id -> posts'),
+        | ('db:Post Tag', 'db:Tag', 'USES', 'FK post_tags.tag_id -> tags'),
+        | ('db:Comment', 'db:Post', 'PART_OF', 'FK comments.post_id -> posts'),
+        | ('db:Post', '', 'constraint', 'In posts, length(title) > 0'),
+        | ('db:Tag', '', 'constraint', 'In tags, label = lower(label)')
+        |) AS t(source_id, target_id, relation_type, source_text)""".stripMargin,
+    "q40_db_row_text" ->
+      """SELECT doc_id,
+        | concat_ws(' ', 'A document',
+        |   CASE WHEN text IS NOT NULL AND text <> '' THEN text END,
+        |   CASE WHEN len(concat_ws(', ',
+        |       CASE WHEN lang IS NOT NULL AND lang <> '' THEN 'lang: ' || lang END,
+        |       CASE WHEN source IS NOT NULL AND source <> '' THEN 'source: ' || source END,
+        |       CASE WHEN n_chars IS NOT NULL THEN 'n chars: ' || CAST(n_chars AS VARCHAR) END)) > 0
+        |   THEN 'with ' || concat_ws(', ',
+        |       CASE WHEN lang IS NOT NULL AND lang <> '' THEN 'lang: ' || lang END,
+        |       CASE WHEN source IS NOT NULL AND source <> '' THEN 'source: ' || source END,
+        |       CASE WHEN n_chars IS NOT NULL THEN 'n chars: ' || CAST(n_chars AS VARCHAR) END)
+        |   END) AS text_nl
+        |FROM documents""".stripMargin,
+    "q36_service_stats" ->
+      s"""SELECT 'web' AS domain,
+         | (SELECT count(*) FROM read_parquet('$FixturesDir/concepts_lite/*.parquet')) AS concepts,
+         | (SELECT count(*) FROM read_parquet('$FixturesDir/pruned_edges/*.parquet')) AS edges,
+         | (SELECT count(*) FROM (SELECT DISTINCT text
+         |    FROM read_parquet('$FixturesDir/rule_sentences/*.parquet')))
+         | + (SELECT count(*) FROM (SELECT DISTINCT source_id, target_id
+         |    FROM read_parquet('$FixturesDir/pruned_edges/*.parquet'))) AS rules""".stripMargin,
+    "q37_factor_drift" ->
+      // same one-pass identity H = log2(T) − Σ(v·log2 v)/T as the operator,
+      // so only summation-order ulps differ (absorbed by round 6)
+      """WITH f AS (SELECT CAST(0.1 AS DOUBLE) + CAST(vec_id % 50 AS DOUBLE) * 0.1 AS v
+        |           FROM embeddings),
+        |a AS (SELECT count(*) AS count, avg(v) AS mean, min(v) AS min_val, max(v) AS max_val,
+        |        CAST(sum(CASE WHEN v > 1.0 THEN 1 ELSE 0 END) AS BIGINT) AS boosted,
+        |        CAST(sum(CASE WHEN v < 1.0 THEN 1 ELSE 0 END) AS BIGINT) AS penalized,
+        |        sum(v) AS t, sum(v * log2(v)) AS vlog
+        |      FROM f)
+        |SELECT count, round(mean, 6) AS mean, min_val, max_val, boosted, penalized,
+        |  round(CASE WHEN t > 0 THEN log2(t) - vlog / t ELSE 0 END, 6) AS entropy
+        |FROM a""".stripMargin,
+    "q38_name_glob" ->
+      s"""SELECT id, name FROM read_parquet('$FixturesDir/concepts_lite/*.parquet')
+         |WHERE regexp_matches(name, '(?i)^.*auth.*$$')""".stripMargin,
     "q34_bfs_neighborhood" ->
       s"""WITH e AS (SELECT source_id, target_id
          |           FROM read_parquet('$FixturesDir/pruned_edges/*.parquet')),
@@ -625,6 +749,31 @@ object SparkEntry {
       .map(t => s"('${t.relationType}','${t.template.replace("'", "''")}'," +
         s"'${t.id}','${t.category}','${t.severity}')")
       .mkString(",")
+
+  /** q28's oracle: min-label connected components over the dumped synonym
+    * pair fixture as 15 generated MATERIALIZED label-propagation rounds
+    * (components converge in ≤ diameter rounds; synonym families here are
+    * diameter ≤ 3 — Canon.connectedComponents warns loudly if a corpus
+    * ever exceeds the round budget). Identity fallback for singleton
+    * concepts, exactly like Canon.canonicalMap.
+    */
+  private def ccOracleSql: String = {
+    val rounds = (1 to 15).map { i =>
+      val prev = s"l${i - 1}"
+      s"""l$i AS MATERIALIZED (
+         |  SELECT $prev.id, least($prev.label, coalesce(m.nl, $prev.label)) AS label
+         |  FROM $prev LEFT JOIN (
+         |    SELECT e.dst AS id, min($prev.label) AS nl
+         |    FROM e JOIN $prev ON $prev.id = e.src GROUP BY e.dst) m USING (id))""".stripMargin
+    }
+    s"""WITH p AS (SELECT id_a, id_b FROM read_parquet('$FixturesDir/synonym_pairs/*.parquet')),
+       |e AS (SELECT id_a AS src, id_b AS dst FROM p UNION SELECT id_b, id_a FROM p),
+       |l0 AS MATERIALIZED (SELECT DISTINCT src AS id, src AS label FROM e),
+       |${rounds.mkString(",\n")}
+       |SELECT c.id, coalesce(l15.label, c.id) AS canonical_id
+       |FROM read_parquet('$FixturesDir/concepts_lite/*.parquet') c
+       |LEFT JOIN l15 ON c.id = l15.id""".stripMargin
+  }
 
   /** q29's oracle: the same 25-iteration PPR power iteration as a generated
     * chain of MATERIALIZED CTEs (DuckDB's optimizer blows up on the inlined

@@ -168,7 +168,11 @@ object Canon {
     * name-similarity) → CC → (id, canonical_id) map covering ALL concepts
     * (identity for singletons).
     */
-  def canonicalMap(
+  /** All synonym edge families as one deduped (id_a, id_b) pair set —
+    * exposed separately so the verify harness can dump it as the CC
+    * oracle's input fixture.
+    */
+  def synonymEdges(
       concepts: DataFrame,
       aliasPairs: DataFrame,
       nameSimThreshold: Double = 0.6
@@ -182,13 +186,19 @@ object Canon {
         lower(col("name_b")) === col("__k")).drop("__k")
       .select(col("id_a"), col("id_b"))
 
-    val synonymEdges = aliasIdPairs
+    aliasIdPairs
       .union(abbreviationPairs(concepts))
       .union(nameSimilarityPairs(concepts, nameSimThreshold))
       .filter(col("id_a") =!= col("id_b"))
       .distinct()
+  }
 
-    val cc = connectedComponents(synonymEdges)
+  def canonicalMap(
+      concepts: DataFrame,
+      aliasPairs: DataFrame,
+      nameSimThreshold: Double = 0.6
+  )(implicit spark: SparkSession): DataFrame = {
+    val cc = connectedComponents(synonymEdges(concepts, aliasPairs, nameSimThreshold))
     concepts
       .select(col("id"))
       .join(cc, Seq("id"), "left")

@@ -67,6 +67,32 @@ object EdgePromotion {
       }
   }
 
+  /** A5 — factor drift snapshot (factors.py:152-172 FactorDriftSnapshot,
+    * :243-261 summary): one row of count / mean / min / max / boosted
+    * (> default 1.0) / penalized (< 1.0) / entropy over the factor
+    * distribution. Entropy −Σ p·log2 p with p = v/Σv computed in ONE
+    * aggregation pass via the identity
+    *   H = log2(T) − (Σ v·log2 v) / T,  T = Σ v
+    * (factors are clamped to [0.1, 5.0], so v > 0 always).
+    */
+  def factorDriftSnapshot(factors: DataFrame): DataFrame = {
+    val v = col("factor").cast("double")
+    factors
+      .agg(
+        count(lit(1)).as("count"),
+        avg(v).as("mean"),
+        min(v).as("min_val"),
+        max(v).as("max_val"),
+        sum(when(v > 1.0, 1L).otherwise(0L)).as("boosted"),
+        sum(when(v < 1.0, 1L).otherwise(0L)).as("penalized"),
+        sum(v).as("__t"),
+        sum(v * log2(v)).as("__vlog"))
+      .select(col("count"), col("mean"), col("min_val"), col("max_val"),
+        col("boosted"), col("penalized"),
+        when(col("__t") > 0.0, log2(col("__t")) - col("__vlog") / col("__t"))
+          .otherwise(lit(0.0)).as("entropy"))
+  }
+
   /** Teleportation-factor update (A4, src/qortex/hippocampus/factors.py:
     * 36-45, 102-143): per node, factor += Σ(outcome deltas), clamped to
     * [0.1, 5.0]. deltas: accepted +0.1, rejected −0.05, partial +0.03.

@@ -61,4 +61,27 @@ class PlanQualitySuite extends SparkFunSuite {
     val plan = planOf(SparkEntry.queries("q04_exists_semi")(spark, dir))
     assert(plan.contains("LeftSemi"), plan.take(2000))
   }
+
+  test("q40 row serialization is pure column expressions — no UDF in the plan") {
+    val plan = planOf(SparkEntry.queries("q40_db_row_text")(spark, dir))
+    assert(!plan.contains("BatchEvalPython") && !plan.contains("ScalaUDF"),
+      plan.take(2000))
+    // single scan feeding a projection (formatted mode prints each node in
+    // the tree and again in the numbered details → exactly 2 mentions)
+    assert("Scan parquet".r.findAllIn(plan).size <= 2)
+  }
+
+  test("q37 factor drift: single aggregation pass (one Exchange, partial+final)") {
+    val plan = planOf(SparkEntry.queries("q37_factor_drift")(spark, dir))
+    assert("HashAggregate".r.findAllIn(plan).size >= 2, "no partial aggregation")
+    assert("Exchange".r.findAllIn(plan).size <= 2, plan.take(2000))
+  }
+
+  test("glob filter stays a codegen'd rlike predicate (no UDF)") {
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val plan = planOf(graft.query.Service.filterByNameGlob(docs, "abc*", "lang"))
+    val l = plan.toLowerCase(java.util.Locale.ROOT)
+    assert(l.contains("rlike") || l.contains("regexp"), plan)
+    assert(!plan.contains("ScalaUDF"))
+  }
 }

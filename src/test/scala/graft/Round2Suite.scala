@@ -228,6 +228,111 @@ class Round2Suite extends SparkFunSuite {
     assert(Dedup.minhashLsh(small, bucketCap = 100L).count() == 45)
   }
 
+  // ---- F5 glob filter / A7 knowledge stats / A5 drift / S7 vector index --
+
+  test("F5: glob name filter — '*' and '?' expand, other chars literal") {
+    val df = Seq("Auth Module", "Oauth2 Tokens", "Key Vault", "auth(x)")
+      .map(Tuple1(_)).toDF("name")
+    import graft.query.Service
+    assert(Service.filterByNameGlob(df, "*auth*").count() == 3) // case-insensitive
+    assert(Service.filterByNameGlob(df, "Auth M?dule").as[String].head() == "Auth Module")
+    assert(Service.filterByNameGlob(df, "auth(x)").count() == 1) // parens literal
+    assert(Service.filterByNameGlob(df, "Key").count() == 0) // full match, not substring
+  }
+
+  test("A7: knowledgeStats per-domain counts with edge domain from id prefix") {
+    val concepts = Seq(("web:A", "web"), ("web:B", "web"), ("db:C", "db"))
+      .toDF("id", "domain")
+    val edges = Seq(("web:A", "web:B"), ("db:C", "db:C")).toDF("source_id", "target_id")
+    val rules = Seq(("r1", "web")).toDF("id", "domain")
+    val stats = graft.query.Service.knowledgeStats(concepts, edges, rules)
+      .orderBy("domain").as[(String, Long, Long, Long)].collect().toSeq
+    assert(stats == Seq(("db", 1L, 1L, 0L), ("web", 2L, 1L, 1L)))
+  }
+
+  test("A5: factor drift snapshot matches hand-computed entropy") {
+    val factors = Seq(("a", 0.5), ("b", 1.0), ("c", 2.5)).toDF("node_id", "factor")
+    val row = graft.streaming.EdgePromotion.factorDriftSnapshot(factors)
+      .as[(Long, Double, Double, Double, Long, Long, Double)].head()
+    val (count, mean, mn, mx, boosted, penalized, entropy) = row
+    assert(count == 3 && mn == 0.5 && mx == 2.5 && boosted == 1 && penalized == 1)
+    assert(math.abs(mean - 4.0 / 3.0) < 1e-12)
+    val t = 4.0
+    val expected = -Seq(0.5, 1.0, 2.5).map(_ / t).map(p => p * math.log(p) / math.log(2)).sum
+    assert(math.abs(entropy - expected) < 1e-9)
+  }
+
+  test("S7: vector index upsert overwrites, remove drops, search ranks") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-vi").toString
+    val store = new SnapshotStore(dir)
+    val vi = new graft.query.VectorIndex(store)
+    val v1 = Array(1.0f, 0.0f, 0.0f)
+    val v2 = Array(0.0f, 1.0f, 0.0f)
+    val v3 = Array(0.9f, 0.1f, 0.0f)
+    vi.upsert(Seq(("a", v1), ("b", v2)).toDF("id", "embedding"))
+    assert(vi.count() == 2)
+    vi.upsert(Seq(("b", v3)).toDF("id", "embedding")) // overwrite b
+    assert(vi.count() == 2)
+    val top = vi.search(v1, topK = 2).as[(String, Double)].collect().toSeq
+    assert(top.map(_._1) == Seq("a", "b")) // b now near v1 via v3
+    assert(top.head._2 > 0.999 && top(1)._2 > 0.9)
+    vi.remove(Seq("a").toDF("id"))
+    assert(vi.count() == 1)
+    // index history is snapshotted: the pre-remove state is still readable
+    assert(store.read("vector_index", 1L).count() == 2)
+  }
+
+  // ---- structured/DB source modality (S8/S9, J8, F6–F8) ----
+
+  test("F6/F7: natural-language row serialization skips internals, formats values") {
+    import graft.sources.Structured
+    val df = Seq(
+      (1L, "Widget", "Does things", 2.5, true, "2020-01-01", 7L)
+    ).toDF("id", "name", "description", "weight", "active", "created_at", "owner_id")
+    val text = df.select(Structured.serializeNatural(df, "food_items").as("t"))
+      .as[String].head()
+    assert(text == "A food item named 'Widget' Does things with weight: 2.5, active: yes")
+    val kv = df.select(Structured.serializeKeyValue(df, "food_items").as("t"))
+      .as[String].head()
+    assert(kv == "table=food_items, name=Widget, description=Does things, " +
+      "weight=2.5, active=yes")
+  }
+
+  test("J8: FK classification priority order (mapping_rules.py:38-81)") {
+    import graft.sources.Structured
+    val cases = Seq(
+      // (source_column, on_delete, table, nFks, nNonKey, expected)
+      ("owner_id", "NO ACTION", "posts", 1, 5, "BELONGS_TO"),
+      ("post_id", "NO ACTION", "post_tags", 2, 0, "USES"), // junction suffix
+      ("a_id", "NO ACTION", "pairs", 2, 1, "USES"), // 2 FKs, ≤2 non-key cols
+      ("parent_id", "CASCADE", "items", 1, 5, "PART_OF"),
+      ("meal_template_id", "NO ACTION", "meals", 1, 5, "INSTANCE_OF"),
+      ("other_id", "NO ACTION", "things", 1, 5, "PART_OF"))
+    val df = cases.toDF("c", "d", "t", "nf", "nk", "expected")
+    val got = df.select(col("expected"),
+      Structured.classifyFk(col("c"), col("d"), col("t"), col("nf"), col("nk")).as("got"))
+    assert(got.filter(col("expected") =!= col("got")).count() == 0)
+  }
+
+  test("F8/S9: schema metadata → concepts, typed edges, constraint rules") {
+    import graft.sources.Structured
+    val tables = Seq(
+      ("users", Seq("id", "name", "email"), Seq("id")),
+      ("posts", Seq("id", "title", "user_id", "created_at"), Seq("id"))
+    ).toDF("table_name", "columns", "pk_columns")
+    val fks = Seq(("posts", "user_id", "users", "NO ACTION"))
+      .toDF("table_name", "source_column", "ref_table", "on_delete")
+    val constraints = Seq(("posts", "posts_title_check", "((length(title) > 0))"))
+      .toDF("table_name", "constraint_name", "check_clause")
+    val (concepts, edges, rules) = Structured.schemaToKg(tables, fks, constraints, "db")
+    assert(concepts.count() == 2)
+    assert(concepts.filter(col("id") === "db:User").count() == 1) // singularized + titled
+    val e = edges.as[(String, String, String, Double, String)].head()
+    assert(e._1 == "db:Post" && e._2 == "db:User" && e._3 == "BELONGS_TO")
+    val r = rules.select("text", "category").as[(String, String)].head()
+    assert(r == (("In posts, length(title) > 0", "constraint")))
+  }
+
   test("banded embedding LSH reaches recall 1.0 on perturbed near-dups") {
     val base = (0 until 200).map { i =>
       val rnd = new scala.util.Random(i)
