@@ -273,9 +273,16 @@ object Ingest {
       Linking.resolveEdges(triplesRaw, concepts, cfg.broadcastMaxRows, cfg.saltBuckets,
         cfg.dictSizeHint)(spark)
     }
-    val tagged = timed(cfg, "prune.tag") {
-      Pruning.tag(rawEdges, cfg.pruning)(spark).persist(StorageLevel.MEMORY_AND_DISK)
+    // Stage the tagged edge set to parquet instead of an on-heap persist:
+    // at web scale this table is tens of millions of rows carrying evidence
+    // sentences — MEMORY_AND_DISK persist GC-thrashes the executors (same
+    // lesson as the extraction staging above; measured at 1.6M pages: the
+    // edges stage dominated the rebuild). Both consumers (survivors →
+    // canonical edges, drop-reason stats) re-read column-pruned.
+    timed(cfg, "stage edges_tagged") {
+      store.commitReplace("edges_tagged", Pruning.tag(rawEdges, cfg.pruning)(spark), allParts)
     }
+    val tagged = store.read("edges_tagged")
     val prunedEdges = Pruning.survivors(tagged)
 
     val aliasPairs = aliasesOf(staged)
@@ -340,6 +347,6 @@ object Ingest {
       .agg(count(lit(1)).as("n"))
     timed(cfg, "commit lineage_prune") { store.commitReplace("lineage_prune", pruneStats, allParts) }
 
-    tagged.unpersist(); concepts.unpersist(); canonMap.unpersist()
+    concepts.unpersist(); canonMap.unpersist()
   }
 }
