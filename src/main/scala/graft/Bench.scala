@@ -50,19 +50,32 @@ object Bench {
     // Pre-warm the shared 300-page KG extraction so q25+ timings measure the
     // operator, not the (separately benchmarked) upstream extraction.
     SparkEntry.kg(spark)
+    val errors = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val q0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => () }
+      // a failed query must be LOUD: a swallowed exception records ~0 s and
+      // makes the bench total *improve* — print it and carry it in the JSON
+      try { fn(spark, sfDir).count() } catch {
+        case e: Throwable =>
+          System.err.println(s"[bench] ERROR $name: ${e.getClass.getSimpleName}: ${e.getMessage}")
+          errors += name -> s"${e.getClass.getSimpleName}: ${e.getMessage}"
+      }
       name -> (System.nanoTime() - q0) / 1e9
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
+    def escJson(s: String): String =
+      s.flatMap { case '"' => "\\\""; case '\\' => "\\\\"; case '\n' => "\\n"
+                  case c if c < ' ' => f"\\u${c.toInt}%04x"; case c => c.toString }
+    val errJson = errors
+      .map { case (n, m) => s"""{"query":"$n","error":"${escJson(m)}"}""" }
+      .mkString("[", ",", "]")
     val total = results.map(_._2).sum + kgWall
     val json =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"""" +
         s""","kg_pages":$nPages,"kg_docs":$kgDocs,"kg_triples":$kgTriples""" +
         f""","kg_wall_sec":$kgWall%.2f,"docs_per_sec":${kgDocs / kgWall}%.1f""" +
-        f""","triples_per_sec":${kgTriples / kgWall}%.1f,"cpus":$cpus}"""
+        f""","triples_per_sec":${kgTriples / kgWall}%.1f,"cpus":$cpus,"errors":$errJson}"""
     println(json)
     // machine-readable copy — sbt prefixes stdout with [info], which breaks
     // the driver's JSON parse of the log tail

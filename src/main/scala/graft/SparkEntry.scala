@@ -57,7 +57,11 @@ object SparkEntry {
     * oracle re-implements the downstream operator in independent SQL, so the
     * circularity is limited to the (suite-verified, P/R-1.0) extraction.
     */
-  val FixturesDir = "/root/repo/target/verify_fixtures"
+  val FixturesDir: String =
+    sys.props.get("graft.fixtures.dir")
+      .orElse(sys.env.get("GRAFT_FIXTURES_DIR"))
+      .getOrElse(new java.io.File(
+        sys.props.getOrElse("user.dir", "."), "target/verify_fixtures").getAbsolutePath)
 
   /** Dump the fixtures referenced by oracleSql. Verify calls this BEFORE
     * the driver runs the oracle SQL.
@@ -231,9 +235,13 @@ object SparkEntry {
     "q21_dedup_embed" -> ((s, dir) => {
       implicit val sp = s
       // round(6): DuckDB's list_cosine_similarity accumulates in a
-      // different order than our loop — identical to the last ulp only
-      Dedup.embeddingCosine(withNearDups(s, dir), threshold = 0.95)
+      // different order than our loop — identical to the last ulp only.
+      // The ≥0.95 gate is applied to the ROUNDED cosine on both sides
+      // (operator threshold sits just below), so a pair within an ulp of
+      // the boundary cannot be included by one side only.
+      Dedup.embeddingCosine(withNearDups(s, dir), threshold = 0.9499)
         .withColumn("cosine", round(col("cosine"), 6))
+        .filter(col("cosine") >= 0.95)
     }),
     "q22_langid" -> ((s, dir) => TextAnalysis.langId(t(s, dir, "documents"))),
     "q23_fingerprint" -> ((s, dir) => TextAnalysis.fingerprints(t(s, dir, "documents"))),
@@ -505,7 +513,7 @@ object SparkEntry {
         |    list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
         |                           CAST(b.embedding AS DOUBLE[])) AS cosine
         |  FROM base a, base b WHERE a.vec_id < b.vec_id)
-        |WHERE cosine >= 0.95""".stripMargin,
+        |WHERE round(cosine, 6) >= 0.95""".stripMargin,
     "q22_langid" ->
       """WITH d AS (
         |  SELECT doc_id, lang AS labeled_lang,
@@ -751,14 +759,16 @@ object SparkEntry {
       .mkString(",")
 
   /** q28's oracle: min-label connected components over the dumped synonym
-    * pair fixture as 15 generated MATERIALIZED label-propagation rounds
-    * (components converge in ≤ diameter rounds; synonym families here are
-    * diameter ≤ 3 — Canon.connectedComponents warns loudly if a corpus
-    * ever exceeds the round budget). Identity fallback for singleton
-    * concepts, exactly like Canon.canonicalMap.
+    * pair fixture as `Canon.OracleRoundBudget` generated MATERIALIZED
+    * label-propagation rounds (components converge in ≤ diameter rounds;
+    * CanonSuite asserts the verify corpus converges within the budget, and
+    * Canon.connectedComponents warns loudly if a corpus ever exceeds its
+    * own iteration cap). Identity fallback for singleton concepts, exactly
+    * like Canon.canonicalMap.
     */
   private def ccOracleSql: String = {
-    val rounds = (1 to 15).map { i =>
+    val n = Canon.OracleRoundBudget
+    val rounds = (1 to n).map { i =>
       val prev = s"l${i - 1}"
       s"""l$i AS MATERIALIZED (
          |  SELECT $prev.id, least($prev.label, coalesce(m.nl, $prev.label)) AS label
@@ -770,9 +780,9 @@ object SparkEntry {
        |e AS (SELECT id_a AS src, id_b AS dst FROM p UNION SELECT id_b, id_a FROM p),
        |l0 AS MATERIALIZED (SELECT DISTINCT src AS id, src AS label FROM e),
        |${rounds.mkString(",\n")}
-       |SELECT c.id, coalesce(l15.label, c.id) AS canonical_id
+       |SELECT c.id, coalesce(l$n.label, c.id) AS canonical_id
        |FROM read_parquet('$FixturesDir/concepts_lite/*.parquet') c
-       |LEFT JOIN l15 ON c.id = l15.id""".stripMargin
+       |LEFT JOIN l$n ON c.id = l$n.id""".stripMargin
   }
 
   /** q29's oracle: the same 25-iteration PPR power iteration as a generated

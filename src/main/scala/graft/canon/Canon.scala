@@ -108,10 +108,28 @@ object Canon {
     * Frontier data is checkpointed each round (`localCheckpoint`) per the
     * north star, bounding lineage and making stragglers restart-cheap.
     */
+  /** Round budget the q28 DuckDB oracle generates its label-propagation
+    * chain with. The operator runs to convergence (≤ `maxIterations`);
+    * CanonSuite asserts the shared verify corpus converges within THIS
+    * budget, so oracle and operator cannot silently diverge on a deeper
+    * synonym component — the oracle chain is generated from this constant.
+    */
+  val OracleRoundBudget = 15
+
   def connectedComponents(
       pairs: DataFrame,
       maxIterations: Int = 50
-  )(implicit spark: SparkSession): DataFrame = {
+  )(implicit spark: SparkSession): DataFrame =
+    connectedComponentsWithStats(pairs, maxIterations)._1
+
+  /** Like [[connectedComponents]] but also returns the number of
+    * propagation rounds actually run (the last round observes zero changes
+    * — convergence proof), so tests can assert round budgets.
+    */
+  def connectedComponentsWithStats(
+      pairs: DataFrame,
+      maxIterations: Int = 50
+  )(implicit spark: SparkSession): (DataFrame, Int) = {
     val srcCol = pairs.columns(0)
     val dstCol = pairs.columns(1)
     // undirected, deduped edge list — both directions so one join propagates
@@ -161,7 +179,7 @@ object Canon {
         s"[graft] WARN connectedComponents hit maxIterations=$maxIterations with " +
           s"$changed labels still changing — components larger than the round " +
           s"budget would get split canonical ids; raise maxIterations")
-    labels.withColumnRenamed("label", "canonical_id")
+    (labels.withColumnRenamed("label", "canonical_id"), iter)
   }
 
   /** Full canonicalization: synonym edges (alias + abbreviation +

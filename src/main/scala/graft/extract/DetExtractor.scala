@@ -192,14 +192,21 @@ object DetExtractor {
   }
 
   /** Case-insensitive per-document name dedup; higher confidence wins, then
-    * earlier position (entities-beat-noun-chunks of extractor.py:139-153).
+    * generalizable beats illustrative on ties (so a page's generalizable
+    * witness survives even when an illustrative occurrence of the same name
+    * precedes it — matching the 'generalizable wins' upsert semantics of
+    * Linking.buildConcepts), then earlier position
+    * (entities-beat-noun-chunks of extractor.py:139-153).
     */
   def dedupMentions(ms: Vector[Mention]): Vector[Mention] = {
+    def rolePri(m: Mention): Int = if (m.role == "illustrative") 0 else 1
     val seen = scala.collection.mutable.LinkedHashMap.empty[String, Mention]
     for (m <- ms) {
       val k = m.name.toLowerCase(Locale.ROOT)
       seen.get(k) match {
-        case Some(prev) if prev.confidence >= m.confidence => ()
+        case Some(prev)
+            if prev.confidence > m.confidence ||
+              (prev.confidence == m.confidence && rolePri(prev) >= rolePri(m)) => ()
         case _ => seen.update(k, m)
       }
     }

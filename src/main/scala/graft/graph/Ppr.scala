@@ -53,7 +53,13 @@ object Ppr {
       .select(col("src"), col("dst"), (col("w") / col("wout")).as("p"))
       .localCheckpoint()
 
-    val nodes = adj.select(col("src").as("id")).distinct()
+    // node set = edge endpoints ∪ seed ids: the reference's InMemory PPR
+    // personalizes over ALL graph nodes (memory.py:304-315), so a seed with
+    // no edges must still receive (1−d)·pers mass each iteration instead of
+    // silently dropping to rank 0.
+    val nodes = adj.select(col("src").as("id"))
+      .unionByName(seeds.select(col("id")))
+      .distinct()
       .persist(StorageLevel.MEMORY_AND_DISK)
 
     // normalized personalization over the node set (uniform fallback —

@@ -266,6 +266,13 @@ final class SnapshotStore(root: String)(implicit spark: SparkSession) {
   /** GC: delete snapshot manifests older than the last `keepLast`, then
     * delete data batch dirs referenced by NO retained snapshot — including
     * orphan dirs from killed writes that never committed.
+    *
+    * SINGLE-WRITER ONLY: commitAppend/commitReplace write their batch
+    * directory BEFORE the manifest exists, so a concurrent expire() would
+    * see an in-flight commit's data as an orphan and delete it. The
+    * pipeline's commit protocol (like Iceberg's maintenance actions)
+    * assumes one writer per table; run expire() only from that writer,
+    * between commits.
     */
   def expire(table: String, keepLast: Int = 2): Seq[String] = {
     val ids = snapshotIds(table)

@@ -177,7 +177,7 @@ class Round2Suite extends SparkFunSuite {
 
   test("manifest JSON escape/unescape round-trips hostile strings") {
     val hostile = Seq("plain", "back\\slash", "qu\"ote", "new\nline",
-      "tab\there", "ctrlchar", "mix\\\"\n")
+      "tab\there", "ctrl\u0001char", "mix\\\"\n\u0002")
     val dir = java.nio.file.Files.createTempDirectory("graft-esc").toString
     val store = new SnapshotStore(dir)
     store.commitAppend("t", Seq((1, "a")).toDF("k", "v"), hostile)
