@@ -387,6 +387,20 @@ object SparkEntry {
       docs.select(col("doc_id"),
         graft.sources.Structured.serializeNatural(docs, "documents").as("text_nl"))
     }),
+    "q41_projection" -> ((s, _) => {
+      implicit val sp = s
+      val shared = kg(s)
+      val ex = graft.rules.Rules.explicitRules(
+        Ingest.ruleSentencesOf(shared.ex), shared.concepts, "web")
+      val dv = graft.rules.Rules.derivedRules(
+        shared.edges.select("source_id", "target_id", "relation_type", "confidence"),
+        shared.concepts, "web")
+      val rules = graft.projectors.Projectors.ruleSource(ex, dv)
+      graft.projectors.Projectors.seedEntries(
+          graft.projectors.Projectors.enrichTemplate(rules))
+        .na.fill("", Seq("prov_relation_type", "prov_template_id",
+          "prov_template_variant", "prov_template_severity"))
+    }),
     "q30_edge_promotion" -> ((s, dir) => {
       implicit val sp = s
       // synthetic observation stream: repeated high-cosine pairs from the
@@ -625,45 +639,9 @@ object SparkEntry {
          |FROM orph WHERE rn = 1""".stripMargin,
     "q28_kg_canon_map" -> ccOracleSql,
     "q29_ppr" -> pprOracleSql,
-    "q31_rules_explicit" ->
-      s"""WITH sent AS (SELECT text, source_id
-         |              FROM read_parquet('$FixturesDir/rule_sentences/*.parquet')),
-         |cand AS (SELECT text, __n FROM read_parquet('$FixturesDir/rule_mention_names/*.parquet')),
-         |dict AS (SELECT id AS concept_id, lower(name) AS __n
-         |         FROM read_parquet('$FixturesDir/concepts_lite/*.parquet')),
-         |linked AS (SELECT c.text, d.concept_id FROM cand c JOIN dict d USING (__n)),
-         |agg AS (
-         |  SELECT s.text, s.source_id,
-         |    coalesce(array_to_string(list_sort(list(DISTINCT l.concept_id)
-         |      FILTER (l.concept_id IS NOT NULL)), ','), '') AS concept_ids
-         |  FROM sent s LEFT JOIN linked l ON s.text = l.text
-         |  GROUP BY s.text, s.source_id)
-         |SELECT 'rule:' || substr(sha256(text), 1, 16) AS id, text, 'web' AS domain, source_id,
-         |  concept_ids,
-         |  CASE WHEN regexp_matches(lower(text), '\\bnever\\b|\\bdo not\\b|\\bdon''t\\b|\\bavoid\\b')
-         |       THEN 'prohibition' ELSE 'requirement' END AS category,
-         |  CAST(0.8 AS DOUBLE) AS confidence
-         |FROM agg""".stripMargin,
-    "q32_rules_derived" ->
-      s"""WITH e AS (SELECT source_id, target_id, relation_type, confidence,
-         |     ROW_NUMBER() OVER (PARTITION BY source_id, target_id
-         |       ORDER BY confidence DESC, relation_type ASC) AS rn
-         |     FROM read_parquet('$FixturesDir/pruned_edges/*.parquet')),
-         |u AS (SELECT * FROM e WHERE rn = 1),
-         |n AS (SELECT id, name FROM read_parquet('$FixturesDir/concepts_lite/*.parquet')),
-         |t(relation_type, template, template_id, tcat, severity) AS (VALUES $templateValuesSql),
-         |x AS (SELECT u.source_id, u.target_id, u.confidence, sn.name AS sn, tn.name AS tn,
-         |        coalesce(t.template, '{source} relates to {target}.') AS template,
-         |        coalesce(t.template_id, '') AS template_id,
-         |        coalesce(t.tcat, 'general') AS category,
-         |        coalesce(t.severity, 'info') AS severity
-         |      FROM u JOIN n sn ON u.source_id = sn.id JOIN n tn ON u.target_id = tn.id
-         |      LEFT JOIN t ON u.relation_type = t.relation_type)
-         |SELECT 'drule:' || substr(sha256(source_id || '|' || target_id), 1, 16) AS id,
-         |  replace(replace(template, '{source}', sn), '{target}', tn) AS text,
-         |  'web' AS domain, source_id || ',' || target_id AS concept_ids,
-         |  category, confidence, template_id, severity
-         |FROM x""".stripMargin,
+    "q31_rules_explicit" -> explicitRulesOracleSql,
+    "q32_rules_derived" -> derivedRulesOracleSql,
+    "q41_projection" -> projectionOracleSql,
     "q35_code_examples" ->
       s"""WITH b AS (
          |  SELECT url, generate_subscripts(code_blocks, 1) - 1 AS idx,
@@ -746,6 +724,76 @@ object SparkEntry {
          |        UNION ALL SELECT id, 0.25 FROM d2)
          |SELECT id, MAX(score) AS score FROM alln GROUP BY id""".stripMargin
   )
+
+  /** q31's oracle, also reused as a CTE body by q41. */
+  private def explicitRulesOracleSql: String =
+    s"""WITH sent AS (SELECT text, source_id
+       |              FROM read_parquet('$FixturesDir/rule_sentences/*.parquet')),
+       |cand AS (SELECT text, __n FROM read_parquet('$FixturesDir/rule_mention_names/*.parquet')),
+       |dict AS (SELECT id AS concept_id, lower(name) AS __n
+       |         FROM read_parquet('$FixturesDir/concepts_lite/*.parquet')),
+       |linked AS (SELECT c.text, d.concept_id FROM cand c JOIN dict d USING (__n)),
+       |agg AS (
+       |  SELECT s.text, s.source_id,
+       |    coalesce(array_to_string(list_sort(list(DISTINCT l.concept_id)
+       |      FILTER (l.concept_id IS NOT NULL)), ','), '') AS concept_ids
+       |  FROM sent s LEFT JOIN linked l ON s.text = l.text
+       |  GROUP BY s.text, s.source_id)
+       |SELECT 'rule:' || substr(sha256(text), 1, 16) AS id, text, 'web' AS domain, source_id,
+       |  concept_ids,
+       |  CASE WHEN regexp_matches(lower(text), '\\bnever\\b|\\bdo not\\b|\\bdon''t\\b|\\bavoid\\b')
+       |       THEN 'prohibition' ELSE 'requirement' END AS category,
+       |  CAST(0.8 AS DOUBLE) AS confidence
+       |FROM agg""".stripMargin
+
+  /** q32's oracle, also reused as a CTE body by q41. */
+  private def derivedRulesOracleSql: String =
+    s"""WITH e AS (SELECT source_id, target_id, relation_type, confidence,
+       |     ROW_NUMBER() OVER (PARTITION BY source_id, target_id
+       |       ORDER BY confidence DESC, relation_type ASC) AS rn
+       |     FROM read_parquet('$FixturesDir/pruned_edges/*.parquet')),
+       |u AS (SELECT * FROM e WHERE rn = 1),
+       |n AS (SELECT id, name FROM read_parquet('$FixturesDir/concepts_lite/*.parquet')),
+       |t(relation_type, template, template_id, tcat, severity) AS (VALUES $templateValuesSql),
+       |x AS (SELECT u.source_id, u.target_id, u.confidence, sn.name AS sn, tn.name AS tn,
+       |        coalesce(t.template, '{source} relates to {target}.') AS template,
+       |        coalesce(t.template_id, '') AS template_id,
+       |        coalesce(t.tcat, 'general') AS category,
+       |        coalesce(t.severity, 'info') AS severity
+       |      FROM u JOIN n sn ON u.source_id = sn.id JOIN n tn ON u.target_id = tn.id
+       |      LEFT JOIN t ON u.relation_type = t.relation_type)
+       |SELECT 'drule:' || substr(sha256(source_id || '|' || target_id), 1, 16) AS id,
+       |  replace(replace(template, '{source}', sn), '{target}', tn) AS text,
+       |  'web' AS domain, source_id || ',' || target_id AS concept_ids,
+       |  category, confidence, template_id, severity
+       |FROM x""".stripMargin
+
+  /** q41's oracle: the seed-entry projection of the SAME explicit+derived
+    * rule sets the q31/q32 oracles derive (their SQL is embedded verbatim
+    * as derived-table subqueries — one source of truth). The mechanical
+    * template enrichment and the provenance block are re-expressed
+    * independently in SQL (targets/_serialize.py:75-113 semantics).
+    */
+  private def projectionOracleSql: String =
+    s"""SELECT text AS rule, category,
+       |  'When working in the web domain' AS context,
+       |  'Violating this rule' AS antipattern,
+       |  text AS rationale,
+       |  'web,' || category AS tags,
+       |  id AS prov_id, 'web' AS prov_domain, 'explicit' AS prov_derivation,
+       |  concept_ids AS prov_source_concepts, confidence AS prov_confidence,
+       |  CAST(0.0 AS DOUBLE) AS prov_relevance,
+       |  '' AS prov_relation_type, '' AS prov_template_id,
+       |  '' AS prov_template_variant, '' AS prov_template_severity
+       |FROM ($explicitRulesOracleSql)
+       |UNION ALL
+       |SELECT text, category,
+       |  'When working in the web domain', 'Violating this rule', text,
+       |  'web,' || category || ',derived',
+       |  id, 'web', 'derived', concept_ids, confidence, CAST(0.0 AS DOUBLE),
+       |  upper(split_part(template_id, ':', 1)), template_id,
+       |  split_part(template_id, ':', 2), severity
+       |FROM ($derivedRulesOracleSql)""".stripMargin
 
   /** The default template variant per relation type rendered as a DuckDB
     * VALUES list — oracle and operator share one registry, so they cannot

@@ -1,0 +1,283 @@
+package graft.projectors
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Projection pipeline: KG rules → versioned export artifacts — the third
+  * traced entry point of the reference (§3.3): Source → Enricher → Target
+  * (projectors/projection.py:15-41).
+  *
+  * Distributed re-expression: every stage is a DataFrame transform over the
+  * committed rules tables (the reference walks backend.get_rules per domain,
+  * projectors/sources/flat.py:34-112); the per-rule entry serialization is a
+  * codegen'd `to_json(struct(...))` column, so the heavy half — millions of
+  * rules at web scale — never touches the driver. Only the final artifact
+  * assembly (one JSON/YAML document per projection, reference returns a
+  * `str`) collects, and that is bounded by rules-per-projection; the
+  * unbounded scale path is `writeJsonl`, which streams entries straight to
+  * files.
+  *
+  * Deterministic invariant kept from the reference's e2e test
+  * (tests/test_e2e_book_to_buildlog.py:386-394):
+  *   projected rule count == explicit rules + one per unique edge pair.
+  */
+object Projectors {
+
+  /** ProjectionFilter (projectors/models.py:13-22): empty seq = no filter,
+    * derivation ∈ {explicit, derived, all}.
+    */
+  final case class ProjectionFilter(
+      domains: Seq[String] = Seq.empty,
+      categories: Seq[String] = Seq.empty,
+      minConfidence: Double = 0.0,
+      derivation: String = "all")
+
+  /** Normalize the two committed rule tables into the universal rule shape
+    * (core/models.py Rule + the template provenance the reference stores in
+    * rule metadata, projectors/sources/flat.py:62-75, 128-146):
+    *
+    *   (id, text, domain, derivation, confidence, category,
+    *    source_concepts ARRAY, relevance,
+    *    relation_type, template_id, template_variant, template_severity)
+    *
+    * Template provenance is recovered from the registry id "type:variant"
+    * (Rules.templateRegistry mirrors templates.py:16-26); null for explicit
+    * rules, exactly like _build_provenance (targets/_serialize.py:52-72).
+    */
+  def ruleSource(
+      explicitRules: DataFrame, // Rules.explicitRules output
+      derivedRules: DataFrame, // Rules.derivedRules output
+      filter: ProjectionFilter = ProjectionFilter()
+  ): DataFrame = {
+    val nullS = lit(null).cast("string")
+    val ex = explicitRules.select(
+      col("id"), col("text"), col("domain"),
+      lit("explicit").as("derivation"),
+      col("confidence").cast("double").as("confidence"),
+      col("category"),
+      col("concept_ids").as("source_concepts"),
+      lit(0.0).as("relevance"),
+      nullS.as("relation_type"), nullS.as("template_id"),
+      nullS.as("template_variant"), nullS.as("template_severity"))
+    val dv = derivedRules.select(
+      col("id"), col("text"), col("domain"),
+      lit("derived").as("derivation"),
+      col("confidence").cast("double").as("confidence"),
+      col("category"),
+      col("concept_ids").as("source_concepts"),
+      lit(0.0).as("relevance"),
+      upper(substring_index(col("template_id"), ":", 1)).as("relation_type"),
+      col("template_id"),
+      substring_index(col("template_id"), ":", -1).as("template_variant"),
+      col("severity").as("template_severity"))
+
+    val unioned = filter.derivation match {
+      case "explicit" => ex
+      case "derived" => dv
+      case _ => ex.unionByName(dv)
+    }
+    Seq[Option[Column]](
+      if (filter.domains.nonEmpty) Some(col("domain").isin(filter.domains: _*)) else None,
+      if (filter.categories.nonEmpty) Some(col("category").isin(filter.categories: _*)) else None,
+      if (filter.minConfidence > 0.0) Some(col("confidence") >= filter.minConfidence) else None
+    ).flatten.foldLeft(unioned)(_.filter(_))
+  }
+
+  /** TemplateEnricher — mechanical enrichment, no LLM
+    * (enrichment/pipeline.py:56-72): context/antipattern/rationale derived
+    * from the rule itself; tags = [domain, category?, "derived"?]. Pure
+    * column expressions, codegen'd.
+    */
+  def enrichTemplate(rules: DataFrame): DataFrame =
+    rules
+      .withColumn("context", concat(lit("When working in the "), col("domain"), lit(" domain")))
+      .withColumn("antipattern", lit("Violating this rule"))
+      .withColumn("rationale", col("text"))
+      .withColumn("tags",
+        filter(
+          array(col("domain"), col("category"),
+            when(col("derivation") === "derived", lit("derived"))),
+          c => c.isNotNull))
+
+  /** PassthroughEnricher (enrichers/passthrough.py): the Enricher protocol
+    * with no enrichment — identity.
+    */
+  def enrichPassthrough(rules: DataFrame): DataFrame = rules
+
+  private def hasEnrichment(df: DataFrame): Boolean = df.columns.contains("context")
+
+  /** One seed entry per rule, flat scalar columns — the SQL-checkable
+    * projection of _rule_to_seed_entry (targets/_serialize.py:75-113):
+    * rule text, category (domain fallback), enrichment fields, and the full
+    * provenance block.
+    */
+  def seedEntries(rules: DataFrame): DataFrame = {
+    val enriched = hasEnrichment(rules)
+    rules.select(
+      col("text").as("rule"),
+      coalesce(col("category"), col("domain")).as("category"),
+      (if (enriched) col("context") else lit(null).cast("string")).as("context"),
+      (if (enriched) col("antipattern") else lit(null).cast("string")).as("antipattern"),
+      (if (enriched) col("rationale") else lit(null).cast("string")).as("rationale"),
+      (if (enriched) concat_ws(",", col("tags")) else lit(null).cast("string")).as("tags"),
+      col("id").as("prov_id"),
+      col("domain").as("prov_domain"),
+      col("derivation").as("prov_derivation"),
+      concat_ws(",", col("source_concepts")).as("prov_source_concepts"),
+      col("confidence").as("prov_confidence"),
+      col("relevance").as("prov_relevance"),
+      col("relation_type").as("prov_relation_type"),
+      col("template_id").as("prov_template_id"),
+      col("template_variant").as("prov_template_variant"),
+      col("template_severity").as("prov_template_severity"))
+  }
+
+  /** rule_to_dict (targets/_serialize.py:16-48) as one JSON string per row:
+    * id/text/domain/derivation/confidence always; category,
+    * source_concepts, metadata (template provenance), enrichment only when
+    * present — `to_json` drops null struct fields, which reproduces the
+    * reference's conditional key inclusion.
+    */
+  def ruleDictJson(rules: DataFrame, includeEnrichment: Boolean = true): DataFrame = {
+    val metadata = when(col("derivation") === "derived",
+      map(lit("relation_type"), col("relation_type"),
+        lit("template_id"), col("template_id"),
+        lit("template_variant"), col("template_variant"),
+        lit("template_severity"), col("template_severity")))
+    val enrichment =
+      if (includeEnrichment && hasEnrichment(rules))
+        when(col("context").isNotNull,
+          struct(col("context"), col("antipattern"), col("rationale"), col("tags")))
+      else lit(null).cast("string")
+    rules
+      .withColumn("__entry", to_json(struct(
+        col("id"), col("text"), col("domain"), col("derivation"), col("confidence"),
+        col("category"),
+        when(size(col("source_concepts")) > 0, col("source_concepts")).as("source_concepts"),
+        metadata.as("metadata"),
+        enrichment.as("enrichment"))))
+      .select(col("id"), col("derivation"), col("__entry").as("entry"))
+  }
+
+  /** Scale path: entries as JSONL files (one JSON object per line), written
+    * distributed — no driver materialization. Artifact targets below are
+    * thin driver-side assemblies over the same entry column.
+    */
+  def writeJsonl(rules: DataFrame, path: String, includeEnrichment: Boolean = true): Unit =
+    ruleDictJson(rules, includeEnrichment).select("entry").write.mode("overwrite").text(path)
+
+  /** Deterministic entry order shared by every artifact target: explicit
+    * before derived, then id.
+    */
+  private def collectEntries(rules: DataFrame, includeEnrichment: Boolean): Seq[String] =
+    ruleDictJson(rules, includeEnrichment)
+      .orderBy(col("derivation"), col("id"))
+      .select("entry")
+      .collect() // bounded: one artifact = one domain's projected rules
+      .map(_.getString(0)).toSeq
+
+  /** FlatJSONTarget (targets/flat_json.py): `{"rules": [...]}`. */
+  def flatJson(rules: DataFrame, includeEnrichment: Boolean = true, indent: Int = 2): String = {
+    val entries = collectEntries(rules, includeEnrichment)
+    if (indent <= 0) entries.mkString("{\"rules\":[", ",", "]}")
+    else {
+      val pad = " " * indent
+      entries.mkString(s"{\n$pad\"rules\": [\n$pad$pad",
+        s",\n$pad$pad", s"\n$pad]\n}")
+    }
+  }
+
+  /** FlatYAMLTarget (targets/flat_yaml.py): same list-of-rule-dicts shape
+    * as YAML. Rendered from the JSON entries with a minimal emitter —
+    * scalar values are emitted as YAML double-quoted strings/numbers, which
+    * any YAML 1.2 parser reads back to the same dicts (JSON is a YAML
+    * subset; only the layout differs from PyYAML's).
+    */
+  def flatYaml(rules: DataFrame, includeEnrichment: Boolean = true): String = {
+    val entries = collectEntries(rules, includeEnrichment)
+    val items = entries.map(e => "- " + e).mkString("\n")
+    s"rules:\n$items\n"
+  }
+
+  /** serialize_ruleset (targets/_serialize.py:116-166) — the universal rule
+    * set schema every consumer ingests: {persona, version, rules, metadata}.
+    * `projectedAt` is caller-supplied (commit-time UTC, F9) so projection is
+    * a pure function of its inputs.
+    */
+  def serializeRuleset(
+      rules: DataFrame,
+      persona: String,
+      version: Int = 1,
+      source: String = "graft",
+      sourceVersion: String = "0.1.0",
+      graphVersion: Option[String] = None,
+      projectedAt: String
+  ): String = {
+    val withProv = seedEntriesJson(rules, graphVersion)
+    val entries = withProv.orderBy(col("derivation"), col("id"))
+      .select("entry").collect().map(_.getString(0))
+    val meta =
+      s"""{"source":"$source","source_version":"$sourceVersion",""" +
+        s""""projected_at":"$projectedAt","rule_count":${entries.length}}"""
+    s"""{"persona":"$persona","version":$version,""" +
+      s""""rules":[${entries.mkString(",")}],"metadata":$meta}"""
+  }
+
+  /** _rule_to_seed_entry as JSON (rule/category/enrichment at entry level,
+    * provenance nested — targets/_serialize.py:75-113).
+    */
+  private def seedEntriesJson(rules: DataFrame, graphVersion: Option[String]): DataFrame = {
+    val enriched = hasEnrichment(rules)
+    val prov = struct(
+      col("id"), col("domain"), col("derivation"),
+      col("source_concepts"), col("confidence"), col("relevance"),
+      col("relation_type"), col("template_id"),
+      col("template_variant"), col("template_severity"),
+      graphVersion.map(v => lit(v)).getOrElse(lit(null).cast("string")).as("graph_version"))
+    val entry = to_json(struct(
+      col("text").as("rule"),
+      coalesce(col("category"), col("domain")).as("category"),
+      (if (enriched) col("context") else lit(null).cast("string")).as("context"),
+      (if (enriched) col("antipattern") else lit(null).cast("string")).as("antipattern"),
+      (if (enriched) col("rationale") else lit(null).cast("string")).as("rationale"),
+      (if (enriched) col("tags") else lit(null).cast("array<string>")).as("tags"),
+      prov.as("provenance")))
+    rules.select(col("id"), col("derivation"), entry.as("entry"))
+  }
+
+  /** ClaudeCodeSkillTarget single-file variant
+    * (targets/claude_code_skill.py:30-75): one SKILL.md with YAML
+    * frontmatter (name + description) and the rules as a markdown body
+    * grouped by category. Returns (path, content).
+    */
+  def skillMarkdown(rules: DataFrame, skillName: String): (String, String) = {
+    val rows = rules
+      .select(coalesce(col("category"), col("domain")).as("category"), col("text"))
+      .orderBy(col("category"), col("text"))
+      .collect().map(r => (r.getString(0), r.getString(1))).toSeq
+    val body = rows.groupBy(_._1).toSeq.sortBy(_._1).map { case (cat, rs) =>
+      s"## $cat\n\n" + rs.map("- " + _._2).mkString("\n")
+    }.mkString("\n\n")
+    val desc = s"Rules projected from the knowledge graph (${rows.size} rules)"
+    val content =
+      s"---\nname: $skillName\ndescription: $desc\n---\n\n# $skillName\n\n$body\n"
+    (s"$skillName/SKILL.md", content)
+  }
+
+  /** Atomic single-file artifact write (temp + rename, same protocol as
+    * SnapshotStore manifests) so a reader never sees a half-written export.
+    */
+  def writeArtifact(path: String, content: String)(
+      implicit spark: org.apache.spark.sql.SparkSession): Unit = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val conf = spark.sparkContext.hadoopConfiguration
+    val fs = p.getFileSystem(conf)
+    if (!fs.exists(p.getParent)) fs.mkdirs(p.getParent)
+    val tmp = new org.apache.hadoop.fs.Path(p.getParent, p.getName + ".tmp-" + System.nanoTime())
+    val out = fs.create(tmp, true)
+    try out.write(content.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+    val ctx = org.apache.hadoop.fs.FileContext.getFileContext(p.toUri, conf)
+    ctx.rename(tmp, p, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+  }
+}
