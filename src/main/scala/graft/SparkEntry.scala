@@ -49,6 +49,31 @@ object SparkEntry {
         .localCheckpoint()
     lazy val edges: DataFrame =
       Pruning.prune(Linking.resolveEdges(Ingest.triplesOf(ex), concepts)).localCheckpoint()
+
+    /** Explicit ∪ derived rules in the retrieval-side shape
+      * (id, text, category, concept_ids) — the rules table a query service
+      * would keep committed next to concepts/edges.
+      */
+    lazy val rulesAll: DataFrame = {
+      val ex0 = graft.rules.Rules.explicitRules(Ingest.ruleSentencesOf(ex), concepts, "web")
+        .select(col("id"), col("text"), col("category"), col("concept_ids"))
+      val dv0 = graft.rules.Rules.derivedRules(
+        edges.select("source_id", "target_id", "relation_type", "confidence"), concepts, "web")
+        .select(col("id"), col("text"), col("category"), col("concept_ids"))
+      ex0.unionByName(dv0).localCheckpoint()
+    }
+
+    /** ONE full retrieval (query text shared with q33), computed once and
+      * checkpointed — q33 serves the items half, q42 the rules half, and
+      * writeFixtures dumps the items as the q42 oracle's input fixture, so
+      * operator and oracle see byte-identical activation scores.
+      */
+    lazy val retrieval: graft.query.Retrieval.RetrievalOutput = {
+      import spark.implicits._
+      val factors = Seq.empty[(String, Double)].toDF("node_id", "factor")
+      graft.query.Retrieval.retrieveFull(concepts, edges, factors,
+        "platform access control tokens", topK = 10, rules = Some(rulesAll))
+    }
   }
 
   /** Absolute path Verify dumps oracle fixtures to; fixture-based oracle SQL
@@ -79,6 +104,11 @@ object SparkEntry {
     w(graft.rules.Rules.sentenceMentionNames(sents), "rule_mention_names")
     w(graft.canon.Canon.synonymEdges(shared.concepts, Ingest.aliasesOf(shared.ex), 0.75),
       "synonym_pairs")
+    // activated items of the shared retrieval — input fixture for the q42
+    // rules-bundle oracle (the vec/PPR half is suite-verified; the rules
+    // join downstream is what the oracle re-implements in SQL)
+    w(shared.retrieval.results.select(col("id"), col("combined").as("score")),
+      "retrieval_items")
   }
 
   private val kgCache =
@@ -302,15 +332,44 @@ object SparkEntry {
         .withColumn("concept_ids", concat_ws(",", col("concept_ids")))
     }),
     "q33_retrieval_hybrid" -> ((s, _) => {
-      implicit val sp = s
-      import sp.implicits._
-      val shared = kg(s)
-      val factors = Seq.empty[(String, Double)].toDF("node_id", "factor")
-      graft.query.Retrieval.retrieve(shared.concepts, shared.edges, factors,
-        "platform access control tokens", topK = 10)
+      // items half of the ONE shared retrieval (see KgShared.retrieval);
+      // q42 serves the rules half of the same contract
+      kg(s).retrieval.results
         .withColumn("vec_score", round(col("vec_score"), 4))
         .withColumn("combined", round(col("combined"), 4))
         .drop("ppr")
+    }),
+    "q42_retrieval_rules" -> ((s, _) => {
+      kg(s).retrieval.rules
+        .withColumn("relevance", round(col("relevance"), 6))
+    }),
+    "q43_feedback_drift" -> ((s, dir) => {
+      implicit val sp = s
+      // same synthetic factor table as q37; outcomes cycle through the
+      // three allowed values by vec_id — one Service.feedback call, then
+      // the drift snapshot of the updated factors
+      val factors = t(s, dir, "embeddings").select(
+        col("vec_id").cast("string").as("node_id"),
+        (lit(0.1) + (col("vec_id") % 50).cast("double") * 0.1).as("factor"))
+      val outcomes = t(s, dir, "embeddings").select(
+        col("vec_id").cast("string").as("node_id"),
+        when(col("vec_id") % 3 === 0, "accepted")
+          .when(col("vec_id") % 3 === 1, "rejected")
+          .otherwise("partial").as("outcome"))
+      val fb = graft.query.Service.feedback(factors, outcomes, "q43")
+        .fold(err => sys.error(err), identity)
+      graft.streaming.EdgePromotion.factorDriftSnapshot(fb.factors)
+        .withColumn("mean", round(col("mean"), 6))
+        .withColumn("entropy", round(col("entropy"), 6))
+    }),
+    "q44_thompson" -> ((s, dir) => {
+      // A10 — Beta-Bernoulli posterior aggregation over a deterministic
+      // synthetic reward stream keyed by the embeddings labels
+      val obs = t(s, dir, "embeddings").select(
+        col("label").as("arm_id"),
+        when(col("vec_id") % 5 < 2, 1.0).otherwise(0.0).as("reward"))
+      graft.learning.Thompson.posteriors(obs)
+        .withColumn("posterior_mean", round(col("posterior_mean"), 6))
     }),
     "q34_bfs_neighborhood" -> ((s, _) => {
       implicit val sp = s
@@ -642,6 +701,44 @@ object SparkEntry {
     "q31_rules_explicit" -> explicitRulesOracleSql,
     "q32_rules_derived" -> derivedRulesOracleSql,
     "q41_projection" -> projectionOracleSql,
+    "q42_retrieval_rules" -> retrievalRulesOracleSql,
+    "q43_feedback_drift" ->
+      // factors.py:36-45 deltas + [0.1, 5.0] clamp, then the q37 one-pass
+      // drift identity over the UPDATED factors
+      """WITH f AS (SELECT CAST(vec_id AS VARCHAR) AS node_id,
+        |  CAST(0.1 AS DOUBLE) + CAST(vec_id % 50 AS DOUBLE) * 0.1 AS factor
+        |           FROM embeddings),
+        |o AS (SELECT CAST(vec_id AS VARCHAR) AS node_id,
+        |  CASE WHEN vec_id % 3 = 0 THEN CAST(0.1 AS DOUBLE)
+        |       WHEN vec_id % 3 = 1 THEN CAST(-0.05 AS DOUBLE)
+        |       ELSE CAST(0.03 AS DOUBLE) END AS d
+        |      FROM embeddings),
+        |u AS (SELECT f.node_id,
+        |  least(CAST(5.0 AS DOUBLE), greatest(CAST(0.1 AS DOUBLE),
+        |        f.factor + coalesce(o.d, CAST(0.0 AS DOUBLE)))) AS v
+        |      FROM f LEFT JOIN o USING (node_id)),
+        |a AS (SELECT count(*) AS count, avg(v) AS mean, min(v) AS min_val, max(v) AS max_val,
+        |        CAST(sum(CASE WHEN v > 1.0 THEN 1 ELSE 0 END) AS BIGINT) AS boosted,
+        |        CAST(sum(CASE WHEN v < 1.0 THEN 1 ELSE 0 END) AS BIGINT) AS penalized,
+        |        sum(v) AS t, sum(v * log2(v)) AS vlog
+        |      FROM u)
+        |SELECT count, round(mean, 6) AS mean, min_val, max_val, boosted, penalized,
+        |  round(CASE WHEN t > 0 THEN log2(t) - vlog / t ELSE 0 END, 6) AS entropy
+        |FROM a""".stripMargin,
+    "q44_thompson" ->
+      // strategy.py:148-168: alpha = 1 + Σ reward, beta = 1 + Σ (1 − reward)
+      """WITH obs AS (SELECT label AS arm_id,
+        |  CASE WHEN vec_id % 5 < 2 THEN CAST(1.0 AS DOUBLE)
+        |       ELSE CAST(0.0 AS DOUBLE) END AS reward
+        |             FROM embeddings),
+        |p AS (SELECT arm_id,
+        |        CAST(1.0 AS DOUBLE) + sum(reward) AS alpha,
+        |        CAST(1.0 AS DOUBLE) + sum(CAST(1.0 AS DOUBLE) - reward) AS beta,
+        |        count(*) AS pulls, sum(reward) AS total_reward
+        |      FROM obs GROUP BY arm_id)
+        |SELECT arm_id, alpha, beta, pulls, total_reward,
+        |  round(alpha / (alpha + beta), 6) AS posterior_mean
+        |FROM p""".stripMargin,
     "q35_code_examples" ->
       s"""WITH b AS (
          |  SELECT url, generate_subscripts(code_blocks, 1) - 1 AS idx,
@@ -794,6 +891,26 @@ object SparkEntry {
        |  upper(split_part(template_id, ':', 1)), template_id,
        |  split_part(template_id, ':', 2), severity
        |FROM ($derivedRulesOracleSql)""".stripMargin
+
+  /** q42's oracle: the rules-bundle join of the reference's query contract
+    * (service._collect_query_rules → core/rules.py:17-96) re-implemented in
+    * SQL — rules re-derived by the q31/q32 oracle SQL, activated items read
+    * from the dumped retrieval_items fixture, relevance = max activation
+    * score per rule.
+    */
+  private def retrievalRulesOracleSql: String =
+    s"""WITH items AS (SELECT id, score
+       |               FROM read_parquet('$FixturesDir/retrieval_items/*.parquet')),
+       |ruleset AS (
+       |  SELECT id, text, category, concept_ids FROM ($explicitRulesOracleSql)
+       |  UNION ALL
+       |  SELECT id, text, category, concept_ids FROM ($derivedRulesOracleSql)),
+       |exploded AS (
+       |  SELECT r.id, r.text, r.category, unnest(string_split(r.concept_ids, ',')) AS cid
+       |  FROM ruleset r WHERE r.concept_ids <> '')
+       |SELECT e.id, e.text, e.category, round(max(i.score), 6) AS relevance
+       |FROM exploded e JOIN items i ON e.cid = i.id
+       |GROUP BY 1, 2, 3""".stripMargin
 
   /** The default template variant per relation type rendered as a DuckDB
     * VALUES list — oracle and operator share one registry, so they cannot

@@ -39,15 +39,27 @@ object Retrieval {
       .limit(fetchK)
   }
 
-  /** Everything one retrieval computes: the ranked results, the ephemeral
+  /** Everything one retrieval computes — the reference's full query
+    * contract `{items, query_id, rules}` (service.py:440-458) plus the
+    * adapter-level surfaces: ranked results, the rules bundled per
+    * activated concept (service._collect_query_rules → J3), the ephemeral
     * online edges (to feed EdgePromotion.promoteBatch — adapter.py:372-375),
     * and the KG-coverage ratio persistent/(persistent+online)
     * (adapter.py:377-388).
     */
   final case class RetrievalOutput(
       results: DataFrame, // (id, name, vec_score, ppr, combined)
+      rules: DataFrame, // (id, text, category, relevance) — empty if no rules table given
       onlineEdges: DataFrame, // (id_a, id_b, cosine)
       kgCoverage: Double)
+
+  /** Graph pattern-completion strategy: PPR (the HippoRAG default) or the
+    * BFS fallback the reference selects when PPR is unavailable
+    * (hippocampus/retrieval.py:50-63 strategy dispatch, :145-183 BFS).
+    */
+  sealed trait CompletionStrategy
+  case object PprCompletion extends CompletionStrategy
+  case object BfsCompletion extends CompletionStrategy
 
   /** Full hybrid retrieval — all six steps of GraphRAGAdapter.retrieve
     * (adapter.py:318-425):
@@ -70,7 +82,13 @@ object Retrieval {
       factors: DataFrame, // (node_id, factor)
       queryText: String,
       topK: Int = 5,
-      onlineThreshold: Double = 0.7 // online_sim_threshold (adapter.py:278)
+      onlineThreshold: Double = 0.7, // online_sim_threshold (adapter.py:278)
+      /** Rules table (id, text, category, concept_ids); when given, the
+        * output bundles rulesForConcepts over the activated result set —
+        * the `rules` half of the reference's query contract.
+        */
+      rules: Option[DataFrame] = None,
+      strategy: CompletionStrategy = PprCompletion
   )(implicit spark: SparkSession): RetrievalOutput = {
     val k = math.max(1, math.min(topK, 1000)) // top_k clamp (service.py:421-422)
     val fetchK = math.max(3 * k, 30) // adapter.py:485
@@ -102,12 +120,20 @@ object Retrieval {
         col("vec_score") * least(lit(5.0), greatest(lit(0.1), coalesce(col("factor"), lit(1.0)))))
       .select(col("id"), col("name"), col("vec_score"), col("weight"))
 
-    // step 5: PPR over the merged graph (persistent + online extras)
+    // step 5: pattern completion over the merged graph (persistent +
+    // online extras). PPR is the HippoRAG path; BFS is the reference's
+    // documented fallback (retrieval.py:145-183) — same blend downstream.
     val pprEdges = edges.select(col("source_id"), col("target_id"), col("confidence"))
       .unionByName(online.select(col("id_a").as("source_id"), col("id_b").as("target_id"),
         col("cosine").as("confidence")))
-    val ppr = Ppr.run(pprEdges, weighted.select(col("id"), col("weight")),
-      damping = 0.85, tol = 1e-4, maxIter = 30)
+    val ppr = strategy match {
+      case PprCompletion =>
+        Ppr.run(pprEdges, weighted.select(col("id"), col("weight")),
+          damping = 0.85, tol = 1e-4, maxIter = 30)
+      case BfsCompletion =>
+        graft.graph.Bfs.patternCompletion(pprEdges, weighted.select(col("id")), maxDepth = 2)
+          .select(col("id"), col("score").as("rank"))
+    }
 
     // step 6: A8 max-normalization, 0.5/0.5 blend over seeds ∪ activated
     val maxPpr = ppr.agg(max(col("rank"))).collect()(0)
@@ -124,7 +150,23 @@ object Retrieval {
       .join(concepts.select(col("id"), col("name")), Seq("id"), "left") // J4 resolve
       .orderBy(col("combined").desc, col("id").asc)
       .select("id", "name", "vec_score", "ppr", "combined")
-    RetrievalOutput(results, online, kgCoverage)
+      // the result set is consumed twice (caller + rules join) — checkpoint
+      // the ≤k rows so the rules join does not recompute the whole retrieval
+      .localCheckpoint()
+
+    // J3: bundle the rules whose concept_ids intersect the activated set,
+    // relevance = max combined score (service.py:440-458 calls
+    // _collect_query_rules on every query's items)
+    val queryRules = rules match {
+      case Some(r) =>
+        graft.rules.Rules.rulesForConcepts(
+          r, results.select(col("id"), col("combined").as("score")))
+      case None =>
+        import spark.implicits._
+        Seq.empty[(String, String, String, Double)]
+          .toDF("id", "text", "category", "relevance")
+    }
+    RetrievalOutput(results, queryRules, online, kgCoverage)
   }
 
   /** Ranked results only (the common call shape). */

@@ -1,12 +1,71 @@
 package graft.query
 
+import graft.store.SnapshotStore
+import graft.streaming.EdgePromotion
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
-/** Service-level query surfaces: glob name filtering (F5) and the
-  * knowledge-stats breakdown (A7).
+/** Service-level query surfaces: glob name filtering (F5), the
+  * knowledge-stats breakdown (A7), and the feedback orchestration closing
+  * the A-loop (service.py:461-498 → adapter.py:594-615 →
+  * factors.py:102-143).
   */
 object Service {
+
+  /** service.py:461 — the only outcome values feedback accepts. */
+  val AllowedOutcomes: Set[String] = Set("accepted", "rejected", "partial")
+
+  /** service.py:462 — reward mapping used for credit propagation /
+    * learning observation (consumed by Thompson.posteriors).
+    */
+  val OutcomeReward: Map[String, Double] =
+    Map("accepted" -> 1.0, "rejected" -> -1.0, "partial" -> 0.3)
+
+  final case class FeedbackResult(
+      status: String, // "recorded"
+      queryId: String,
+      outcomeCount: Long,
+      accepted: Long,
+      rejected: Long,
+      partial: Long,
+      factors: DataFrame) // the updated teleportation-factor table
+
+  /** One-call feedback orchestration, mirroring the reference's flow:
+    * validate every outcome (an invalid one rejects the whole batch with
+    * the reference's error text, service.py:470-475), apply the
+    * teleportation-factor deltas (A4, clamped), optionally commit the
+    * updated factors as a snapshot (persist_on_update,
+    * interoception.py:284-293 / St4), and return the outcome tallies the
+    * service tracks (service.py:482-485).
+    *
+    * `outcomes`: (node_id, outcome) — one row per judged result item.
+    */
+  def feedback(
+      factors: DataFrame, // (node_id, factor)
+      outcomes: DataFrame, // (node_id, outcome)
+      queryId: String,
+      persistTo: Option[(SnapshotStore, String)] = None
+  ): Either[String, FeedbackResult] = {
+    val invalid = outcomes
+      .filter(!col("outcome").isin(AllowedOutcomes.toSeq: _*))
+      .select(col("node_id"), col("outcome"))
+      .limit(1).collect()
+    if (invalid.nonEmpty) {
+      val r = invalid.head
+      Left(s"Invalid outcome '${r.getString(1)}' for item '${r.getString(0)}'. " +
+        s"Must be one of: ${AllowedOutcomes.toSeq.sorted.mkString(", ")}")
+    } else {
+      val updated = EdgePromotion.updateFactors(factors, outcomes).localCheckpoint()
+      val tallies = outcomes.groupBy(col("outcome")).agg(count(lit(1)).as("n"))
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      persistTo.foreach { case (store, table) =>
+        store.commitReplace(table, updated, Seq.empty)
+      }
+      Right(FeedbackResult("recorded", queryId, tallies.values.sum,
+        tallies.getOrElse("accepted", 0L), tallies.getOrElse("rejected", 0L),
+        tallies.getOrElse("partial", 0L), updated))
+    }
+  }
 
   /** F5 — glob → regex name filter (core/backend.py:561-565: '*' → '.*',
     * '?' → '.', case-insensitive, full match like Cypher's =~). All other

@@ -73,6 +73,148 @@ class Round3Suite extends SparkFunSuite {
     assert(math.abs(got("z") - 0.075) < 1e-9)
   }
 
+  test("Service.feedback: invalid outcome rejects the batch with the reference error") {
+    val factors = Seq(("a", 1.0)).toDF("node_id", "factor")
+    val outcomes = Seq(("a", "accepted"), ("b", "maybe")).toDF("node_id", "outcome")
+    val res = graft.query.Service.feedback(factors, outcomes, "q-1")
+    assert(res.isLeft)
+    assert(res.left.toOption.get ==
+      "Invalid outcome 'maybe' for item 'b'. Must be one of: accepted, partial, rejected")
+  }
+
+  test("Service.feedback: factor deltas, tallies, and snapshot persistence") {
+    val factors = Seq(("a", 1.0), ("b", 1.0), ("c", 4.99)).toDF("node_id", "factor")
+    val outcomes = Seq(("a", "accepted"), ("a", "accepted"), ("b", "rejected"),
+      ("c", "accepted"), ("d", "partial")).toDF("node_id", "outcome")
+    val dir = java.nio.file.Files.createTempDirectory("graft-fb").toString
+    val store = new graft.store.SnapshotStore(dir)
+    val res = graft.query.Service.feedback(factors, outcomes, "q-2",
+      persistTo = Some((store, "factors")))
+    val fb = res.fold(e => fail(e), identity)
+    assert(fb.status == "recorded" && fb.queryId == "q-2")
+    assert(fb.outcomeCount == 5 && fb.accepted == 3 && fb.rejected == 1 && fb.partial == 1)
+    val got = fb.factors.as[(String, Double)].collect().toMap
+    assert(math.abs(got("a") - 1.2) < 1e-12) // +0.1 twice
+    assert(math.abs(got("b") - 0.95) < 1e-12) // −0.05
+    assert(got("c") == 5.0) // clamped at max
+    assert(math.abs(got("d") - 1.03) < 1e-12) // default 1.0 + 0.03
+    // persisted snapshot readable (St4 persist_on_update)
+    assert(store.read("factors").count() == 4)
+  }
+
+  test("feedback round re-ranks the next retrieval exactly as the factors imply") {
+    import graft.core.Embeddings
+    val qText = "feedback ranking probe"
+    val qv = Embeddings.embed(qText)
+    val perturbed = qv.clone(); perturbed(0) = perturbed(0) + 0.35f
+    val concepts = Seq(
+      ("web:Alpha", "Alpha", qv.toSeq), ("web:Beta", "Beta", perturbed.toSeq))
+      .toDF("id", "name", "embedding")
+    val edges = Seq.empty[(String, String, Double)]
+      .toDF("source_id", "target_id", "confidence")
+    val factors0 = Seq.empty[(String, Double)].toDF("node_id", "factor")
+
+    val before = graft.query.Retrieval.retrieve(concepts, edges, factors0, qText, topK = 2)
+      .select("id", "combined").as[(String, Double)].collect().toMap
+    assert(before("web:Alpha") > before("web:Beta")) // pure vec ordering
+
+    // 40 accepted outcomes for Beta → factor clamps at 5.0
+    val outcomes = (1 to 40).map(_ => ("web:Beta", "accepted")).toDF("node_id", "outcome")
+    val fb = graft.query.Service.feedback(factors0, outcomes, "q-3")
+      .fold(e => fail(e), identity)
+    val updatedFactors = fb.factors.as[(String, Double)].collect().toMap
+    assert(updatedFactors("web:Beta") == 5.0)
+
+    val after = graft.query.Retrieval.retrieve(concepts, edges, fb.factors, qText, topK = 2)
+      .select("id", "combined").as[(String, Double)].collect().toMap
+    // Beta's boosted teleportation factor flips the blended ranking
+    assert(after("web:Beta") > after("web:Alpha"))
+  }
+
+  test("retrieveFull bundles rules for activated concepts; BFS fallback selectable") {
+    import graft.core.Embeddings
+    val qText = "bundled rules probe"
+    val qv = Embeddings.embed(qText)
+    val concepts = Seq(
+      ("web:Alpha", "Alpha", qv.toSeq),
+      ("web:Gamma", "Gamma", Embeddings.embed("something unrelated entirely").toSeq))
+      .toDF("id", "name", "embedding")
+    val edges = Seq(("web:Alpha", "web:Gamma", 0.9))
+      .toDF("source_id", "target_id", "confidence")
+    val factors = Seq.empty[(String, Double)].toDF("node_id", "factor")
+    val rules = Seq(
+      ("rule:1", "Alpha must be monitored.", "requirement", Seq("web:Alpha")),
+      ("rule:2", "Unrelated rule.", "requirement", Seq("web:Nowhere")))
+      .toDF("id", "text", "category", "concept_ids")
+
+    val out = graft.query.Retrieval.retrieveFull(concepts, edges, factors, qText,
+      topK = 2, rules = Some(rules))
+    val bundled = out.rules.as[(String, String, String, Double)].collect()
+    assert(bundled.map(_._1).toSeq == Seq("rule:1")) // only the activated concept's rule
+    val topCombined = out.results
+      .orderBy(org.apache.spark.sql.functions.col("combined").desc)
+      .select("combined").as[Double].head()
+    assert(math.abs(bundled.head._4 - topCombined) < 1e-12) // relevance = max activation
+
+    // BFS fallback: same contract, scores from pattern completion
+    val bfs = graft.query.Retrieval.retrieveFull(concepts, edges, factors, qText,
+      topK = 2, rules = Some(rules), strategy = graft.query.Retrieval.BfsCompletion)
+    val byId = bfs.results.select("id", "ppr").as[(String, Double)].collect().toMap
+    assert(byId("web:Alpha") == 1.0) // seed depth 0
+    assert(byId("web:Gamma") >= 0.5) // neighbor at depth 1 (or a vec seed itself)
+    assert(bfs.rules.count() == 1)
+  }
+
+  test("Thompson: ArmState.update matches the distributed posterior aggregation") {
+    import graft.learning.Thompson
+    val rewards = Seq(1.0, 0.0, 1.0, 0.3, 0.0, 1.0)
+    val sequential = rewards.foldLeft(Thompson.ArmState())(_.update(_))
+    val agg = Thompson.posteriors(rewards.map(("arm", _)).toDF("arm_id", "reward"))
+      .collect().head
+    assert(math.abs(agg.getAs[Double]("alpha") - sequential.alpha) < 1e-12)
+    assert(math.abs(agg.getAs[Double]("beta") - sequential.beta) < 1e-12)
+    assert(agg.getAs[Long]("pulls") == sequential.pulls)
+    assert(math.abs(agg.getAs[Double]("total_reward") - sequential.totalReward) < 1e-12)
+  }
+
+  test("Thompson: posterior mean converges to the true rate (property)") {
+    import graft.learning.Thompson
+    val rng = new java.util.Random(42L)
+    val trueRates = Map("good" -> 0.8, "bad" -> 0.2)
+    val obs = (1 to 2000).flatMap { _ =>
+      trueRates.map { case (arm, p) => (arm, if (rng.nextDouble() < p) 1.0 else 0.0) }
+    }
+    val means = Thompson.posteriors(obs.toDF("arm_id", "reward"))
+      .select("arm_id", "posterior_mean").as[(String, Double)].collect().toMap
+    assert(math.abs(means("good") - 0.8) < 0.03)
+    assert(math.abs(means("bad") - 0.2) < 0.03)
+  }
+
+  test("Thompson.select: exploit, cold-start force-include, budget, determinism") {
+    import graft.learning.Thompson
+    val arms = Seq(Thompson.Arm("good", 10), Thompson.Arm("bad", 10),
+      Thompson.Arm("fresh", 10))
+    val states = Map(
+      "good" -> Thompson.ArmState(80, 20, 100, 80),
+      "bad" -> Thompson.ArmState(20, 80, 100, 20))
+    // exploit: over many seeded rounds the high-posterior arm dominates
+    val wins = (1 to 200).count { s =>
+      Thompson.select(Seq(Thompson.Arm("good"), Thompson.Arm("bad")), states,
+        k = 1, seed = s.toLong).selected.head.id == "good"
+    }
+    assert(wins > 160, s"good arm won only $wins/200 rounds")
+    // cold start: an arm below minPulls is always forced in
+    val withFresh = Thompson.select(arms, states, k = 1, seed = 7L, minPulls = 5)
+    assert(withFresh.selected.exists(_.id == "fresh"))
+    // token budget caps the selection
+    val budgeted = Thompson.select(arms, states, k = 3, seed = 7L, tokenBudget = 20)
+    assert(budgeted.usedTokens <= 20 && budgeted.selected.size == 2)
+    // determinism: same seed, same outcome
+    val a = Thompson.select(arms, states, k = 2, seed = 99L)
+    val b = Thompson.select(arms, states, k = 2, seed = 99L)
+    assert(a.selected.map(_.id) == b.selected.map(_.id) && a.scores == b.scores)
+  }
+
   test("q28 CC oracle round budget is sufficient for the verify corpus (measured)") {
     val shared = SparkEntry.kg(spark)
     val pairs = Canon.synonymEdges(shared.concepts,
