@@ -111,6 +111,119 @@ object Structured {
         sha2(serializeKeyValue(df, tableName), 256).substr(1, 16)).as("url"),
       serializeNatural(df, tableName).as("text"))
 
+  // --- S8: live JDBC read (the reference's asyncpg fetch,
+  //     src/qortex/sources/postgres.py, as spark.read.jdbc) ---
+
+  /** Read one table over JDBC. When `partitionOn` gives a numeric column
+    * and bounds, the read is split into `numPartitions` range-parallel
+    * queries — the scale path: executors pull disjoint slices, nothing
+    * funnels through the driver. Without it the read is a single partition
+    * (fine for dimension-sized tables only).
+    */
+  def readTable(
+      url: String,
+      table: String,
+      properties: java.util.Properties = new java.util.Properties(),
+      partitionOn: Option[(String, Long, Long, Int)] = None
+  )(implicit spark: SparkSession): DataFrame =
+    partitionOn match {
+      case Some((column, lower, upper, n)) =>
+        spark.read.jdbc(url, table, column, lower, upper, n, properties)
+      case None => spark.read.jdbc(url, table, properties)
+    }
+
+  /** Rows of a JDBC table → pages-shaped documents (url, text), ready for
+    * the ingestion pipeline — the end-to-end DB modality.
+    */
+  def readTableAsDocuments(
+      url: String,
+      table: String,
+      properties: java.util.Properties = new java.util.Properties(),
+      partitionOn: Option[(String, Long, Long, Int)] = None
+  )(implicit spark: SparkSession): DataFrame =
+    rowsAsDocuments(readTable(url, table, properties, partitionOn), table)
+
+  /** Discover schema metadata over JDBC — the analog of
+    * postgres_graph.discover_schema (postgres_graph.py:83-281), which
+    * queries pg_catalog driver-side. Uses java.sql.DatabaseMetaData for
+    * tables/columns/PKs/FKs (portable across engines); CHECK constraints
+    * have no JDBC metadata API, so `checkConstraintSql` optionally supplies
+    * a dialect query returning (table_name, constraint_name, check_clause).
+    * Metadata is driver-side by nature (bounded by schema size, same as the
+    * reference); only the DATA read (`readTable`) is distributed.
+    *
+    * Returns (tables, fks, constraints) in the schemaToKg input shapes.
+    */
+  def discoverSchema(
+      url: String,
+      schemaPattern: String = null,
+      checkConstraintSql: Option[String] = None
+  )(implicit spark: SparkSession): (DataFrame, DataFrame, DataFrame) = {
+    import spark.implicits._
+    val conn = java.sql.DriverManager.getConnection(url)
+    try {
+      val md = conn.getMetaData
+      val tableNames = {
+        val rs = md.getTables(null, schemaPattern, "%", Array("TABLE"))
+        val b = Seq.newBuilder[String]
+        while (rs.next()) b += rs.getString("TABLE_NAME")
+        rs.close(); b.result()
+      }
+      val tables = tableNames.map { t =>
+        val cols = {
+          val rs = md.getColumns(null, schemaPattern, t, "%")
+          val b = Seq.newBuilder[(Int, String)]
+          while (rs.next()) b += ((rs.getInt("ORDINAL_POSITION"), rs.getString("COLUMN_NAME")))
+          rs.close(); b.result().sortBy(_._1).map(_._2)
+        }
+        val pks = {
+          val rs = md.getPrimaryKeys(null, schemaPattern, t)
+          val b = Seq.newBuilder[(Short, String)]
+          while (rs.next()) b += ((rs.getShort("KEY_SEQ"), rs.getString("COLUMN_NAME")))
+          rs.close(); b.result().sortBy(_._1).map(_._2)
+        }
+        (lowerName(t), cols.map(lowerName), pks.map(lowerName))
+      }
+      val fks = tableNames.flatMap { t =>
+        val rs = md.getImportedKeys(null, schemaPattern, t)
+        val b = Seq.newBuilder[(String, String, String, String)]
+        while (rs.next()) b += ((
+          lowerName(rs.getString("FKTABLE_NAME")),
+          lowerName(rs.getString("FKCOLUMN_NAME")),
+          lowerName(rs.getString("PKTABLE_NAME")),
+          deleteRuleName(rs.getShort("DELETE_RULE"))))
+        rs.close(); b.result()
+      }
+      val constraints = checkConstraintSql.toSeq.flatMap { sql =>
+        val st = conn.createStatement()
+        try {
+          val rs = st.executeQuery(sql)
+          val b = Seq.newBuilder[(String, String, String)]
+          while (rs.next())
+            b += ((lowerName(rs.getString(1)), lowerName(rs.getString(2)), rs.getString(3)))
+          rs.close(); b.result()
+        } finally st.close()
+      }
+      (tables.toDF("table_name", "columns", "pk_columns"),
+        fks.toDF("table_name", "source_column", "ref_table", "on_delete"),
+        constraints.toDF("table_name", "constraint_name", "check_clause"))
+    } finally conn.close()
+  }
+
+  /** SQL identifiers arrive uppercased from case-folding engines (Derby,
+    * Oracle); fold to the lowercase convention the mapping rules key on.
+    */
+  private def lowerName(s: String): String =
+    if (s == null) null else s.toLowerCase(java.util.Locale.ROOT)
+
+  private def deleteRuleName(code: Short): String = code match {
+    case java.sql.DatabaseMetaData.importedKeyCascade => "CASCADE"
+    case java.sql.DatabaseMetaData.importedKeyRestrict => "RESTRICT"
+    case java.sql.DatabaseMetaData.importedKeySetNull => "SET NULL"
+    case java.sql.DatabaseMetaData.importedKeySetDefault => "SET DEFAULT"
+    case _ => "NO ACTION"
+  }
+
   // --- J8: FK → relation type (mapping_rules.py:27-81) ---
 
   private val ownership = Set("user_id", "owner_id", "author_id", "creator_id",

@@ -279,7 +279,8 @@ class Round2Suite extends SparkFunSuite {
     vi.remove(Seq("a").toDF("id"))
     assert(vi.count() == 1)
     // index history is snapshotted: the pre-remove state is still readable
-    assert(store.read("vector_index", 1L).count() == 2)
+    // (resolved through the merge-on-read view, latest-wins per id)
+    assert(vi.asOf(1L).count() == 2)
   }
 
   // ---- structured/DB source modality (S8/S9, J8, F6–F8) ----

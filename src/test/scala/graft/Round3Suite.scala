@@ -215,6 +215,44 @@ class Round3Suite extends SparkFunSuite {
     assert(a.selected.map(_.id) == b.selected.map(_.id) && a.scores == b.scores)
   }
 
+  test("VectorIndex merge-on-read: upsert cost is the delta, not the table") {
+    import graft.query.VectorIndex
+    val dir = java.nio.file.Files.createTempDirectory("graft-vix").toString
+    val store = new graft.store.SnapshotStore(dir)
+    val ix = new VectorIndex(store, "vix")
+
+    def vecs(ids: Range, v: Float) =
+      ids.map(i => (i.toString, Seq(v, i.toFloat))).toDF("id", "embedding")
+
+    ix.upsert(vecs(0 until 500, 1.0f))
+    val snapAfterLoad = store.latest("vix").get.id
+    ix.upsert(vecs(0 until 10, 2.0f)) // overwrite 10 ids
+    // delta-only write: the new snapshot adds ONE batch holding 10 rows
+    val snap = store.latest("vix").get
+    assert(snap.batches.size == 2, "upsert must append a delta batch, not rewrite")
+    val deltaRows = spark.read.parquet(s"$dir/vix/data/${snap.batches.last}").count()
+    assert(deltaRows == 10, s"delta batch holds $deltaRows rows, expected 10")
+    // latest-wins resolution
+    assert(ix.count() == 500)
+    val resolved = ix.read().as[(String, Seq[Float])].collect().toMap
+    assert(resolved("3").head == 2.0f && resolved("42").head == 1.0f)
+
+    // tombstone remove: delta-only, resolved at read
+    ix.remove(Seq("3", "499").toDF("id"))
+    assert(ix.count() == 498)
+    assert(store.latest("vix").get.batches.size == 3)
+
+    // time travel still sees the pre-remove state
+    assert(ix.asOf(snapAfterLoad).count() == 500)
+
+    // compaction folds the log to one batch with identical content
+    ix.compact()
+    assert(store.latest("vix").get.batches.size == 1)
+    assert(ix.count() == 498)
+    val afterCompact = ix.read().as[(String, Seq[Float])].collect().toMap
+    assert(afterCompact("5").head == 2.0f && !afterCompact.contains("3"))
+  }
+
   test("q28 CC oracle round budget is sufficient for the verify corpus (measured)") {
     val shared = SparkEntry.kg(spark)
     val pairs = Canon.synonymEdges(shared.concepts,
