@@ -460,6 +460,19 @@ object SparkEntry {
         .na.fill("", Seq("prov_relation_type", "prov_template_id",
           "prov_template_variant", "prov_template_severity"))
     }),
+    "q45_causal_rules" -> ((s, _) => {
+      implicit val sp = s
+      import sp.implicits._
+      // deterministic 5-node DAG exercising chain, fork, and collider
+      // blocking: A→B→C (REQUIRES), A→D (USES), E→C (SUPPORTS)
+      val edges = Seq(
+        ("A", "B", "REQUIRES", 1.0), ("B", "C", "REQUIRES", 1.0),
+        ("A", "D", "USES", 1.0), ("E", "C", "SUPPORTS", 1.0))
+        .toDF("source_id", "target_id", "relation_type", "confidence")
+      val dag = graft.causal.CausalDag.fromEdgeFrame(edges)
+      graft.causal.CausalRules.derive(dag, "web")
+        .withColumn("source_concepts", concat_ws(",", col("source_concepts")))
+    }),
     "q30_edge_promotion" -> ((s, dir) => {
       implicit val sp = s
       // synthetic observation stream: repeated high-cosine pairs from the
@@ -725,6 +738,26 @@ object SparkEntry {
         |SELECT count, round(mean, 6) AS mean, min_val, max_val, boosted, penalized,
         |  round(CASE WHEN t > 0 THEN log2(t) - vlog / t ELSE 0 END, 6) AS entropy
         |FROM a""".stripMargin,
+    "q45_causal_rules" ->
+      // golden: the d-separation structure of the fixed 5-node DAG, worked
+      // by hand (chain A→B→C blocked by B; fork at A blocks B–D and C–D;
+      // collider at C blocks A–E, B–E, D–E unconditionally); per-pair
+      // first assertion = smallest conditioning set by enumeration order
+      """SELECT * FROM (VALUES
+        | ('causal:A<>C', 'A and C are conditionally independent given B (d-separated in the causal graph)',
+        |  'web', 'causal_independence', CAST(1.0 AS DOUBLE), 'A,C', 'B', 'd_separation'),
+        | ('causal:A<>E', 'A and E are unconditionally independent (d-separated in the causal graph)',
+        |  'web', 'causal_independence', CAST(1.0 AS DOUBLE), 'A,E', '', 'd_separation'),
+        | ('causal:B<>D', 'B and D are conditionally independent given A (d-separated in the causal graph)',
+        |  'web', 'causal_independence', CAST(1.0 AS DOUBLE), 'B,D', 'A', 'd_separation'),
+        | ('causal:B<>E', 'B and E are unconditionally independent (d-separated in the causal graph)',
+        |  'web', 'causal_independence', CAST(1.0 AS DOUBLE), 'B,E', '', 'd_separation'),
+        | ('causal:C<>D', 'C and D are conditionally independent given A (d-separated in the causal graph)',
+        |  'web', 'causal_independence', CAST(1.0 AS DOUBLE), 'C,D', 'A', 'd_separation'),
+        | ('causal:D<>E', 'D and E are unconditionally independent (d-separated in the causal graph)',
+        |  'web', 'causal_independence', CAST(1.0 AS DOUBLE), 'D,E', '', 'd_separation')
+        |) AS t(id, text, domain, category, confidence, source_concepts,
+        |       conditioning_set, method)""".stripMargin,
     "q44_thompson" ->
       // strategy.py:148-168: alpha = 1 + Σ reward, beta = 1 + Σ (1 − reward)
       """WITH obs AS (SELECT label AS arm_id,

@@ -47,7 +47,12 @@ object Projectors {
   def ruleSource(
       explicitRules: DataFrame, // Rules.explicitRules output
       derivedRules: DataFrame, // Rules.derivedRules output
-      filter: ProjectionFilter = ProjectionFilter()
+      filter: ProjectionFilter = ProjectionFilter(),
+      /** CausalRules.derive output; included for derivation ∈ {causal, all}
+        * (the reference's CausalRuleProjector gates the same way,
+        * causal/projector.py:74-76).
+        */
+      causalRules: Option[DataFrame] = None
   ): DataFrame = {
     val nullS = lit(null).cast("string")
     val ex = explicitRules.select(
@@ -71,11 +76,26 @@ object Projectors {
       substring_index(col("template_id"), ":", -1).as("template_variant"),
       col("severity").as("template_severity"))
 
-    val unioned = filter.derivation match {
-      case "explicit" => ex
-      case "derived" => dv
-      case _ => ex.unionByName(dv)
-    }
+    val ca = causalRules.map(_.select(
+      col("id"), col("text"), col("domain"),
+      lit("causal").as("derivation"),
+      col("confidence").cast("double").as("confidence"),
+      col("category"),
+      col("source_concepts"),
+      lit(0.0).as("relevance"),
+      nullS.as("relation_type"), nullS.as("template_id"),
+      nullS.as("template_variant"), nullS.as("template_severity")))
+
+    // selection per source, matching the reference's gating: explicit for
+    // {explicit, all} (sources/flat.py:45); edge-derived for
+    // {derived, causal, all} (:49); causal for {causal, all}
+    // (causal/projector.py:74-76)
+    val parts = Seq(
+      if (Set("explicit", "all")(filter.derivation)) Some(ex) else None,
+      if (Set("derived", "causal", "all")(filter.derivation)) Some(dv) else None,
+      if (Set("causal", "all")(filter.derivation)) ca else None
+    ).flatten
+    val unioned = parts.reduce(_.unionByName(_))
     Seq[Option[Column]](
       if (filter.domains.nonEmpty) Some(col("domain").isin(filter.domains: _*)) else None,
       if (filter.categories.nonEmpty) Some(col("category").isin(filter.categories: _*)) else None,
