@@ -84,4 +84,40 @@ class PlanQualitySuite extends SparkFunSuite {
     assert(l.contains("rlike") || l.contains("regexp"), plan)
     assert(!plan.contains("ScalaUDF"))
   }
+
+  test("projection seed entries are pure column expressions — no UDF, no extra shuffle") {
+    import spark.implicits._
+    import graft.projectors.Projectors
+    val ex = Seq(("r1", "Text.", "web", "u1", Seq("web:A"), "requirement", 0.8))
+      .toDF("id", "text", "domain", "source_id", "concept_ids", "category", "confidence")
+    val dv = Seq(("d1", "T.", "web", Seq("web:A", "web:B"), "general", 0.9,
+      "uses:dependency", "info"))
+      .toDF("id", "text", "domain", "concept_ids", "category", "confidence",
+        "template_id", "severity")
+    val entries = Projectors.seedEntries(Projectors.enrichTemplate(Projectors.ruleSource(ex, dv)))
+    val plan = planOf(entries)
+    assert(!plan.contains("ScalaUDF") && !plan.contains("BatchEvalPython"), plan.take(2000))
+    assert(!plan.contains("Exchange"), "projection added a shuffle: " + plan.take(2000))
+    // same for the distributed JSON entry serialization
+    val jsonPlan = planOf(Projectors.ruleDictJson(
+      Projectors.enrichTemplate(Projectors.ruleSource(ex, dv))))
+    assert(!jsonPlan.contains("ScalaUDF") && !jsonPlan.contains("Exchange"))
+  }
+
+  test("causal edge orientation broadcasts the 10-row mapping (no shuffle of edges)") {
+    import spark.implicits._
+    val edges = Seq(("a", "b", "USES", 0.9))
+      .toDF("source_id", "target_id", "relation_type", "confidence")
+    val plan = planOf(graft.causal.Causal.causalEdges(edges)(spark))
+    assert(plan.contains("BroadcastHashJoin"), plan.take(2000))
+    assert(!plan.contains("SortMergeJoin"))
+  }
+
+  test("Thompson posterior aggregation is partial+final around one Exchange") {
+    import spark.implicits._
+    val obs = Seq(("a", 1.0), ("a", 0.0), ("b", 1.0)).toDF("arm_id", "reward")
+    val plan = planOf(graft.learning.Thompson.posteriors(obs))
+    assert("HashAggregate".r.findAllIn(plan).size >= 2, "no partial aggregation")
+    assert("Exchange".r.findAllIn(plan).size <= 2, plan.take(2000))
+  }
 }
