@@ -50,17 +50,26 @@ object SparkEntry {
     lazy val edges: DataFrame =
       Pruning.prune(Linking.resolveEdges(Ingest.triplesOf(ex), concepts)).localCheckpoint()
 
+    /** The two rule tables a query service would keep COMMITTED next to
+      * concepts/edges — computed once, checkpointed, shared by every
+      * rules consumer (q31/q32 measure the operators as first consumers;
+      * q33/q36/q41/q42 then read them like committed tables instead of
+      * re-deriving per query).
+      */
+    lazy val explicitRulesDf: DataFrame =
+      graft.rules.Rules.explicitRules(Ingest.ruleSentencesOf(ex), concepts, "web")
+        .localCheckpoint()
+    lazy val derivedRulesDf: DataFrame =
+      graft.rules.Rules.derivedRules(
+        edges.select("source_id", "target_id", "relation_type", "confidence"), concepts, "web")
+        .localCheckpoint()
+
     /** Explicit ∪ derived rules in the retrieval-side shape
-      * (id, text, category, concept_ids) — the rules table a query service
-      * would keep committed next to concepts/edges.
+      * (id, text, category, concept_ids).
       */
     lazy val rulesAll: DataFrame = {
-      val ex0 = graft.rules.Rules.explicitRules(Ingest.ruleSentencesOf(ex), concepts, "web")
-        .select(col("id"), col("text"), col("category"), col("concept_ids"))
-      val dv0 = graft.rules.Rules.derivedRules(
-        edges.select("source_id", "target_id", "relation_type", "confidence"), concepts, "web")
-        .select(col("id"), col("text"), col("category"), col("concept_ids"))
-      ex0.unionByName(dv0).localCheckpoint()
+      val cols = Seq("id", "text", "category", "concept_ids").map(col)
+      explicitRulesDf.select(cols: _*).unionByName(derivedRulesDf.select(cols: _*))
     }
 
     /** ONE full retrieval (query text shared with q33), computed once and
@@ -318,17 +327,11 @@ object SparkEntry {
         .withColumn("rank", round(col("rank"), 6))
     }),
     "q31_rules_explicit" -> ((s, _) => {
-      implicit val sp = s
-      val shared = kg(s)
-      graft.rules.Rules.explicitRules(Ingest.ruleSentencesOf(shared.ex), shared.concepts, "web")
+      kg(s).explicitRulesDf
         .withColumn("concept_ids", concat_ws(",", col("concept_ids")))
     }),
     "q32_rules_derived" -> ((s, _) => {
-      implicit val sp = s
-      val shared = kg(s)
-      graft.rules.Rules.derivedRules(
-        shared.edges.select("source_id", "target_id", "relation_type", "confidence"),
-        shared.concepts, "web")
+      kg(s).derivedRulesDf
         .withColumn("concept_ids", concat_ws(",", col("concept_ids")))
     }),
     "q33_retrieval_hybrid" -> ((s, _) => {
@@ -384,16 +387,10 @@ object SparkEntry {
         .withColumn("concept_ids", concat_ws(",", col("concept_ids")))
     }),
     "q36_service_stats" -> ((s, _) => {
-      implicit val sp = s
       val shared = kg(s)
-      val explicit = graft.rules.Rules.explicitRules(
-        Ingest.ruleSentencesOf(shared.ex), shared.concepts, "web")
-        .select("id", "domain")
-      val derived = graft.rules.Rules.derivedRules(
-        shared.edges.select("source_id", "target_id", "relation_type", "confidence"),
-        shared.concepts, "web").select("id", "domain")
       graft.query.Service.knowledgeStats(shared.concepts, shared.edges,
-        explicit.unionByName(derived))
+        shared.explicitRulesDf.select("id", "domain")
+          .unionByName(shared.derivedRulesDf.select("id", "domain")))
     }),
     "q37_factor_drift" -> ((s, dir) => {
       implicit val sp = s
@@ -447,14 +444,9 @@ object SparkEntry {
         graft.sources.Structured.serializeNatural(docs, "documents").as("text_nl"))
     }),
     "q41_projection" -> ((s, _) => {
-      implicit val sp = s
       val shared = kg(s)
-      val ex = graft.rules.Rules.explicitRules(
-        Ingest.ruleSentencesOf(shared.ex), shared.concepts, "web")
-      val dv = graft.rules.Rules.derivedRules(
-        shared.edges.select("source_id", "target_id", "relation_type", "confidence"),
-        shared.concepts, "web")
-      val rules = graft.projectors.Projectors.ruleSource(ex, dv)
+      val rules = graft.projectors.Projectors.ruleSource(
+        shared.explicitRulesDf, shared.derivedRulesDf)
       graft.projectors.Projectors.seedEntries(
           graft.projectors.Projectors.enrichTemplate(rules))
         .na.fill("", Seq("prov_relation_type", "prov_template_id",

@@ -263,14 +263,17 @@ final class DSeparation(dag: CausalDag) {
   * concepts back through DAG ancestry, decaying per hop × edge strength;
   * output feeds Thompson posteriors.
   */
+object CreditAssigner {
+  final case class CreditAssignment(
+      conceptId: String, credit: Double, path: Seq[String], method: String)
+}
+
 final class CreditAssigner(
     dag: CausalDag,
     decayFactor: Double = 0.5,
     minCredit: Double = 0.01,
     maxDepth: Int = 50) extends Serializable {
-
-  final case class CreditAssignment(
-      conceptId: String, credit: Double, path: Seq[String], method: String)
+  import CreditAssigner.CreditAssignment
 
   /** credit.py:31-72: direct credit to rule concepts, decayed credit to
     * ancestors; each concept credited once (first path wins).

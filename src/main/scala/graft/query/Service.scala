@@ -21,6 +21,12 @@ object Service {
   val OutcomeReward: Map[String, Double] =
     Map("accepted" -> 1.0, "rejected" -> -1.0, "partial" -> 0.3)
 
+  final case class CreditSummary(
+      conceptCount: Int,
+      directCount: Int,
+      ancestorCount: Int,
+      posteriorDeltas: Map[String, (Double, Double)]) // concept → (α, β)
+
   final case class FeedbackResult(
       status: String, // "recorded"
       queryId: String,
@@ -28,7 +34,8 @@ object Service {
       accepted: Long,
       rejected: Long,
       partial: Long,
-      factors: DataFrame) // the updated teleportation-factor table
+      factors: DataFrame, // the updated teleportation-factor table
+      credit: Option[CreditSummary] = None)
 
   /** One-call feedback orchestration, mirroring the reference's flow:
     * validate every outcome (an invalid one rejects the whole batch with
@@ -44,7 +51,13 @@ object Service {
       factors: DataFrame, // (node_id, factor)
       outcomes: DataFrame, // (node_id, outcome)
       queryId: String,
-      persistTo: Option[(SnapshotStore, String)] = None
+      persistTo: Option[(SnapshotStore, String)] = None,
+      /** KG edges (source_id, target_id, relation_type, confidence); when
+        * given, feedback also propagates causal credit through per-domain
+        * DAG ancestry into Thompson posterior deltas
+        * (service._maybe_propagate_credit, service.py:1608-1681).
+        */
+      creditEdges: Option[DataFrame] = None
   ): Either[String, FeedbackResult] = {
     val invalid = outcomes
       .filter(!col("outcome").isin(AllowedOutcomes.toSeq: _*))
@@ -61,9 +74,56 @@ object Service {
       persistTo.foreach { case (store, table) =>
         store.commitReplace(table, updated, Seq.empty)
       }
+      val credit = creditEdges.flatMap(e => propagateCredit(e, outcomes))
       Right(FeedbackResult("recorded", queryId, tallies.values.sum,
         tallies.getOrElse("accepted", 0L), tallies.getOrElse("rejected", 0L),
-        tallies.getOrElse("partial", 0L), updated))
+        tallies.getOrElse("partial", 0L), updated, credit))
+    }
+  }
+
+  /** Causal credit propagation (service.py:1608-1681): group outcome nodes
+    * by the "{domain}:{name}" id prefix, build each domain's causal DAG
+    * from the (distributed-oriented) edge table, assign credit at the
+    * domain's AVERAGE reward, and fold the assignments into Thompson
+    * posterior deltas. The outcomes batch is per-query-sized — driver-side
+    * like the reference; the stream-scale path is
+    * CreditAssigner.creditStream.
+    */
+  def propagateCredit(
+      edges: DataFrame,
+      outcomes: DataFrame // (node_id, outcome)
+  ): Option[CreditSummary] = {
+    implicit val spark: org.apache.spark.sql.SparkSession = edges.sparkSession
+    val rows = outcomes.select(col("node_id"), col("outcome")).collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    val byDomain = rows.filter(_._1.contains(":"))
+      .groupBy { case (id, _) => id.substring(0, id.indexOf(':')) }
+    if (byDomain.isEmpty) return None
+
+    val all = scala.collection.mutable.ArrayBuffer
+      .empty[graft.causal.CreditAssigner.CreditAssignment]
+    for ((domain, members) <- byDomain.toSeq.sortBy(_._1)) {
+      val domainEdges = edges.filter(
+        substring_index(col("source_id"), ":", 1) === domain &&
+          substring_index(col("target_id"), ":", 1) === domain)
+      val dag = graft.causal.CausalDag.fromEdgeFrame(domainEdges)
+      val rewards = members.map { case (_, o) => OutcomeReward.getOrElse(o, 0.0) }
+      val avgReward = rewards.sum / rewards.length
+      val assigner = new graft.causal.CreditAssigner(dag)
+      all ++= assigner.assignCredit(members.map(_._1).toSeq, avgReward)
+    }
+    if (all.isEmpty) None
+    else {
+      val deltas = all.toSeq.groupBy(_.conceptId).map { case (cid, as) =>
+        cid -> (
+          as.filter(_.credit >= 0).map(_.credit).sum,
+          as.filter(_.credit < 0).map(a => math.abs(a.credit)).sum)
+      }
+      Some(CreditSummary(
+        deltas.size,
+        all.count(_.method == "direct"),
+        all.count(_.method == "ancestor"),
+        deltas))
     }
   }
 

@@ -143,6 +143,35 @@ class CausalSuite extends SparkFunSuite {
     assert(wIndep.sampleSize == 4000)
   }
 
+  test("feedback propagates causal credit into Thompson posterior deltas") {
+    // one domain: web:A → web:B → web:C (REQUIRES, conf 0.9 → strength 0.81)
+    val edges = Seq(
+      ("web:A", "web:B", "REQUIRES", 0.9), ("web:B", "web:C", "REQUIRES", 0.9))
+      .toDF("source_id", "target_id", "relation_type", "confidence")
+    val factors = Seq.empty[(String, Double)].toDF("node_id", "factor")
+    val outcomes = Seq(("web:C", "accepted")).toDF("node_id", "outcome")
+    val fb = graft.query.Service.feedback(factors, outcomes, "q-credit",
+      creditEdges = Some(edges)).fold(e => fail(e), identity)
+    val credit = fb.credit.getOrElse(fail("no credit summary"))
+    assert(credit.directCount == 1 && credit.ancestorCount == 2)
+    assert(credit.conceptCount == 3)
+    val (aC, _) = credit.posteriorDeltas("web:C")
+    assert(aC == 1.0) // direct at the average reward (accepted → 1.0)
+    val (aB, _) = credit.posteriorDeltas("web:B")
+    assert(math.abs(aB - 0.5 * 0.81) < 1e-12) // decay × edge strength
+    val (aA, _) = credit.posteriorDeltas("web:A")
+    assert(math.abs(aA - 0.405 * 0.5 * 0.81) < 1e-12)
+    // rejected-only batch: negative credit lands in beta
+    val neg = graft.query.Service.feedback(factors,
+      Seq(("web:C", "rejected")).toDF("node_id", "outcome"), "q-credit-2",
+      creditEdges = Some(edges)).fold(e => fail(e), identity)
+    assert(neg.credit.get.posteriorDeltas("web:C") == (0.0, 1.0))
+    // no credit requested → none computed
+    val plain = graft.query.Service.feedback(factors, outcomes, "q-credit-3")
+      .fold(e => fail(e), identity)
+    assert(plain.credit.isEmpty)
+  }
+
   test("causal rules feed the projection pipeline with derivation gating") {
     val dag = chainForkCollider()
     val causalRules = CausalRules.derive(dag, "web")
