@@ -182,6 +182,84 @@ object Canon {
     (labels.withColumnRenamed("label", "canonical_id"), iter)
   }
 
+  /** Connected components via alternating large-star / small-star rounds
+    * (Kiveris et al., "Connected Components in MapReduce and Beyond") —
+    * O(log n) rounds instead of min-label propagation's O(diameter), the
+    * scale-safe choice when alias chains can be long. Same contract as
+    * [[connectedComponents]]: (id, canonical_id = component minimum).
+    *
+    * Each round is two aggregations + two joins, no per-node neighbor
+    * collection (the per-node minimum is computed with `min`, never
+    * `collect_set`, so a 10⁸-degree hub costs one combiner, not one
+    * buffer). Convergence = the canonical edge set's (count, hash-sum)
+    * fingerprint repeating — no driver-side edge materialization.
+    *
+    *  - large-star(u): every neighbor v > u re-points to
+    *    m = min(N(u) ∪ u)
+    *  - small-star(u): with edges oriented larger→smaller, every neighbor
+    *    (all ≤ u) and u itself re-point to m = min(N(u) ∪ u)
+    */
+  def connectedComponentsStar(
+      pairs: DataFrame,
+      maxIterations: Int = 50
+  )(implicit spark: SparkSession): DataFrame =
+    connectedComponentsStarWithStats(pairs, maxIterations)._1
+
+  def connectedComponentsStarWithStats(
+      pairs: DataFrame,
+      maxIterations: Int = 50
+  )(implicit spark: SparkSession): (DataFrame, Int) = {
+    val srcCol = pairs.columns(0)
+    val dstCol = pairs.columns(1)
+    val allNodes = pairs.select(col(srcCol).as("id"))
+      .union(pairs.select(col(dstCol).as("id"))).distinct().localCheckpoint()
+
+    def largeStar(e: DataFrame): DataFrame = {
+      val und = e.union(e.select(col("b").as("a"), col("a").as("b")))
+      val mins = und.groupBy("a").agg(least(min(col("b")), first(col("a"))).as("m"))
+      und.filter(col("b") > col("a"))
+        .join(mins, Seq("a"))
+        .select(col("b").as("a"), col("m").as("b"))
+        .filter(col("a") =!= col("b"))
+        .distinct()
+    }
+    def smallStar(e: DataFrame): DataFrame = {
+      val oriented = e.select(greatest(col("a"), col("b")).as("a"),
+        least(col("a"), col("b")).as("b")).distinct()
+      val mins = oriented.groupBy("a").agg(min(col("b")).as("m"))
+      oriented.join(mins, Seq("a"))
+        .select(col("b").as("a"), col("m").as("b"))
+        .union(mins.select(col("a"), col("m").as("b")))
+        .filter(col("a") =!= col("b"))
+        .distinct()
+    }
+    def fingerprint(e: DataFrame): (Long, Long) = {
+      // bit_xor: order-independent, overflow-free under ANSI mode
+      val r = e.agg(count(lit(1)), expr("bit_xor(xxhash64(a, b))")).collect()(0)
+      (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1))
+    }
+
+    var edges = pairs
+      .select(col(srcCol).as("a"), col(dstCol).as("b"))
+      .filter(col("a") =!= col("b"))
+      .distinct()
+      .localCheckpoint()
+    var iter = 0
+    var prev = (-1L, 0L)
+    var cur = fingerprint(edges)
+    while (cur != prev && iter < maxIterations) {
+      edges = smallStar(largeStar(edges)).localCheckpoint()
+      prev = cur
+      cur = fingerprint(edges)
+      iter += 1
+    }
+    // converged star graph: every non-root points at its component minimum
+    val labels = allNodes
+      .join(edges.withColumnRenamed("a", "id"), Seq("id"), "left")
+      .select(col("id"), coalesce(col("b"), col("id")).as("canonical_id"))
+    (labels, iter)
+  }
+
   /** Full canonicalization: synonym edges (alias + abbreviation +
     * name-similarity) → CC → (id, canonical_id) map covering ALL concepts
     * (identity for singletons).

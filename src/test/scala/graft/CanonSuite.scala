@@ -30,6 +30,30 @@ class CanonSuite extends SparkFunSuite {
     assert(cc.values.toSet == Set("n00"))
   }
 
+  test("large-star/small-star CC matches min-label on random graphs (property)") {
+    val rng = new java.util.Random(11L)
+    for (_ <- 1 to 5) {
+      val n = 30
+      val pairs = (1 to 25).map { _ =>
+        (f"n${rng.nextInt(n)}%02d", f"n${rng.nextInt(n)}%02d")
+      }.filter { case (a, b) => a != b }
+      val df = pairs.toDF("id_a", "id_b")
+      val minLabel = Canon.connectedComponents(df).as[(String, String)].collect().toMap
+      val star = Canon.connectedComponentsStar(df).as[(String, String)].collect().toMap
+      assert(star == minLabel, s"divergence on pairs $pairs")
+    }
+  }
+
+  test("star CC converges in O(log n) rounds where min-label needs O(diameter)") {
+    val chain = (0 until 64).map(i => (f"n$i%02d", f"n${i + 1}%02d")).toDF("a", "b")
+    val (labels, starRounds) = Canon.connectedComponentsStarWithStats(chain, maxIterations = 100)
+    assert(labels.select("canonical_id").distinct().as[String].collect().toSeq == Seq("n00"))
+    val (_, mlRounds) = Canon.connectedComponentsWithStats(chain, maxIterations = 100)
+    assert(starRounds <= 12, s"star took $starRounds rounds")
+    assert(mlRounds > starRounds,
+      s"expected min-label ($mlRounds) to need more rounds than star ($starRounds)")
+  }
+
   test("abbreviationPairs: initials of multiword names match short ALL-CAPS names") {
     val concepts = Seq(
       ("web:Dependency Injection", "Dependency Injection"),

@@ -253,6 +253,39 @@ class Round3Suite extends SparkFunSuite {
     assert(afterCompact("5").head == 2.0f && !afterCompact.contains("3"))
   }
 
+  test("StreamMain: file stream → stateful promotion, state survives restart") {
+    import graft.streaming.{EdgePromotion, StreamMain}
+    val base = java.nio.file.Files.createTempDirectory("graft-stream").toString
+    val (obsDir, outDir, ckDir) = (s"$base/obs", s"$base/out", s"$base/ck")
+
+    def writeObs(batch: Seq[EdgePromotion.Observation], name: String): Unit =
+      batch.toDF().write.mode("append").parquet(obsDir) // flat: file source does not recurse
+    val promotedSchema =
+      org.apache.spark.sql.Encoders.product[EdgePromotion.PromotedEdge].schema
+    def sink() = spark.read.schema(promotedSchema).parquet(outDir)
+
+    // batch 1: two hits for (a,b) — below the promotion threshold of 3
+    writeObs(Seq(
+      EdgePromotion.Observation("a", "b", 0.9, 1L),
+      EdgePromotion.Observation("b", "a", 0.8, 2L)), "batch1")
+    StreamMain.runOnce(obsDir, outDir, ckDir)
+    assert(sink().count() == 0)
+
+    // restart with one more hit: checkpointed state carries the first two,
+    // so the third crosses hits ≥ 3 with avg ≥ 0.75 → exactly one edge
+    writeObs(Seq(EdgePromotion.Observation("a", "b", 0.85, 3L)), "batch2")
+    StreamMain.runOnce(obsDir, outDir, ckDir)
+    val promoted = sink().as[EdgePromotion.PromotedEdge].collect()
+    assert(promoted.length == 1)
+    val e = promoted.head
+    assert(e.source_id == "a" && e.target_id == "b" && e.hits == 3)
+    assert(math.abs(e.confidence - (0.9 + 0.8 + 0.85) / 3) < 1e-9)
+
+    // draining again with nothing new emits nothing more
+    StreamMain.runOnce(obsDir, outDir, ckDir)
+    assert(sink().count() == 1)
+  }
+
   test("q28 CC oracle round budget is sufficient for the verify corpus (measured)") {
     val shared = SparkEntry.kg(spark)
     val pairs = Canon.synonymEdges(shared.concepts,
