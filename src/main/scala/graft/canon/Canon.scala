@@ -253,6 +253,11 @@ object Canon {
       cur = fingerprint(edges)
       iter += 1
     }
+    if (cur != prev)
+      System.err.println(
+        s"[graft] WARN connectedComponentsStar hit maxIterations=$maxIterations " +
+          "without the edge fingerprint stabilizing — labels from a non-star edge " +
+          "set are NOT component minima; raise maxIterations")
     // converged star graph: every non-root points at its component minimum
     val labels = allNodes
       .join(edges.withColumnRenamed("a", "id"), Seq("id"), "left")

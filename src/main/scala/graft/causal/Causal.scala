@@ -130,29 +130,40 @@ final class CausalDag private (
 
   def isValidDag: Boolean = topologicalOrder().size == nodeIds.size
 
-  /** Find one directed cycle (DFS), or None. */
+  /** Find one directed cycle, or None. Iterative DFS with an explicit
+    * stack — a 100k-node path graph must not blow the JVM call stack.
+    */
   private def findCycle(): Option[Seq[(String, String)]] = {
     val color = scala.collection.mutable.Map.empty[String, Int] // 0 white 1 gray 2 black
     val parent = scala.collection.mutable.Map.empty[String, String]
-    var cycle: Option[Seq[(String, String)]] = None
-    def dfs(n: String): Unit = {
-      if (cycle.isDefined) return
-      color(n) = 1
-      for (c <- children(n) if cycle.isEmpty) {
-        color.getOrElse(c, 0) match {
-          case 0 => parent(c) = n; dfs(c)
-          case 1 => // back edge n → c: cycle c → ... → n → c
-            val path = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
-            var cur = n
-            while (cur != c) { path += ((parent(cur), cur)); cur = parent(cur) }
-            cycle = Some((path.reverse :+ ((n, c))).toSeq)
-          case _ => ()
+    for (root <- nodeIds.toSeq.sorted if color.getOrElse(root, 0) == 0) {
+      // stack holds (node, remaining children iterator)
+      val stack = scala.collection.mutable.Stack[(String, Iterator[String])]()
+      color(root) = 1
+      stack.push((root, children(root).toSeq.sorted.iterator))
+      while (stack.nonEmpty) {
+        val (n, it) = stack.top
+        if (it.hasNext) {
+          val c = it.next()
+          color.getOrElse(c, 0) match {
+            case 0 =>
+              parent(c) = n
+              color(c) = 1
+              stack.push((c, children(c).toSeq.sorted.iterator))
+            case 1 => // back edge n → c closes a cycle c → ... → n → c
+              val path = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+              var cur = n
+              while (cur != c) { path += ((parent(cur), cur)); cur = parent(cur) }
+              return Some((path.reverse :+ ((n, c))).toSeq)
+            case _ => ()
+          }
+        } else {
+          color(n) = 2
+          stack.pop()
         }
       }
-      color(n) = 2
     }
-    nodeIds.toSeq.sorted.foreach(n => if (color.getOrElse(n, 0) == 0 && cycle.isEmpty) dfs(n))
-    cycle
+    None
   }
 
   /** Remove the lowest-strength edge of each cycle until acyclic
@@ -266,6 +277,17 @@ final class DSeparation(dag: CausalDag) {
 object CreditAssigner {
   final case class CreditAssignment(
       conceptId: String, credit: Double, path: Seq[String], method: String)
+
+  /** credit.py:110-136 — the single definition of the credit → (α, β)
+    * delta convention, shared by the instance method, the distributed
+    * stream bridge, and Service.propagateCredit.
+    */
+  def toPosteriorUpdates(assignments: Seq[CreditAssignment]): Map[String, (Double, Double)] =
+    assignments.groupBy(_.conceptId).map { case (cid, as) =>
+      cid -> (
+        as.filter(_.credit >= 0).map(_.credit).sum,
+        as.filter(_.credit < 0).map(a => math.abs(a.credit)).sum)
+    }
 }
 
 final class CreditAssigner(
@@ -307,11 +329,7 @@ final class CreditAssigner(
 
   /** credit.py:110-136: positive credit → alpha delta, negative → beta. */
   def toPosteriorUpdates(assignments: Seq[CreditAssignment]): Map[String, (Double, Double)] =
-    assignments.groupBy(_.conceptId).map { case (cid, as) =>
-      cid -> (
-        as.filter(_.credit >= 0).map(_.credit).sum,
-        as.filter(_.credit < 0).map(a => math.abs(a.credit)).sum)
-    }
+    CreditAssigner.toPosteriorUpdates(assignments)
 
   /** Distributed bridge: a rewards STREAM (rule concept_ids + reward) →
     * per-concept posterior deltas. The DAG broadcasts with this (small,
@@ -450,7 +468,11 @@ object Refutation {
       claimedIndependent: Boolean,
       significanceLevel: Double = 0.05
   ): RefutationResult = {
-    def joint(vars: Set[String]) = concat_ws("|", vars.toSeq.sorted.map(col): _*)
+    // NULL-safe joint key: a null value is its own category ("None", the
+    // reference's str(None)), never silently dropped by concat_ws — two
+    // distinct configurations must not merge into one contingency cell
+    def joint(vars: Set[String]) = concat_ws("|",
+      vars.toSeq.sorted.map(v => coalesce(col(v).cast("string"), lit("None"))): _*)
     val n = data.count()
     require(n >= 5, s"Insufficient data: $n samples (need >= 5)")
     val cells = data

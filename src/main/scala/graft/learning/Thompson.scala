@@ -58,12 +58,16 @@ object Thompson {
         sum(col("reward")).as("total_reward"))
       .withColumn("posterior_mean", col("alpha") / (col("alpha") + col("beta")))
 
-  /** Deterministic Beta(a, b) sample for a, b ≥ 1 via two Marsaglia–Tsang
-    * gamma draws (x/(x+y)). Posteriors here always have a, b ≥ 1 (uniform
-    * prior + non-negative increments).
+  /** Deterministic Beta(a, b) sample via two Marsaglia–Tsang gamma draws
+    * (x/(x+y)). Bernoulli-reward posteriors keep a, b ≥ 1 (uniform prior +
+    * non-negative increments); signed rewards (e.g. the service's
+    * rejected → −1.0 mapping fed through credit deltas) can push a shape
+    * below 1 or to 0, so shapes are floored at a small positive value and
+    * sub-1 shapes use the standard boost gamma(s) = gamma(s+1)·U^(1/s) —
+    * never NaN (the reference's random.betavariate would raise instead).
     */
-  private[learning] def betaSample(rng: java.util.Random, a: Double, b: Double): Double = {
-    def gamma(shape: Double): Double = {
+  private[graft] def betaSample(rng: java.util.Random, a: Double, b: Double): Double = {
+    def gammaGe1(shape: Double): Double = {
       // Marsaglia–Tsang squeeze, valid for shape ≥ 1
       val d = shape - 1.0 / 3.0
       val c = 1.0 / math.sqrt(9.0 * d)
@@ -80,6 +84,11 @@ object Thompson {
       }
       out
     }
+    def gamma(shape: Double): Double = {
+      val s = math.max(shape, 1e-3)
+      if (s >= 1.0) gammaGe1(s)
+      else gammaGe1(s + 1.0) * math.pow(rng.nextDouble(), 1.0 / s)
+    }
     val x = gamma(a)
     val y = gamma(b)
     if (x + y == 0.0) 0.5 else x / (x + y)
@@ -88,8 +97,11 @@ object Thompson {
   /** Thompson selection (strategy.py:52-146): cold-start arms below
     * `minPulls` are force-included; with probability `baselineRate` the
     * round is uniform-random exploration; otherwise arms rank by a draw
-    * from their posterior. `tokenBudget` > 0 caps the summed token cost.
-    * k ≤ 0 means "no cap on count".
+    * from their posterior. `tokenBudget` > 0 caps the summed token cost of
+    * the RANKED picks — forced cold-start arms bypass both the budget and
+    * k, exactly like the reference (strategy.py:85-90, 119-124 seed
+    * `selected` with `forced` before the budget loop). k ≤ 0 means "no cap
+    * on count".
     */
   def select(
       candidates: Seq[Arm],

@@ -237,11 +237,26 @@ object Projectors {
     val entries = withProv.orderBy(col("derivation"), col("id"))
       .select("entry").collect().map(_.getString(0))
     val meta =
-      s"""{"source":"$source","source_version":"$sourceVersion",""" +
-        s""""projected_at":"$projectedAt","rule_count":${entries.length}}"""
-    s"""{"persona":"$persona","version":$version,""" +
+      s"""{"source":${jsonStr(source)},"source_version":${jsonStr(sourceVersion)},""" +
+        s""""projected_at":${jsonStr(projectedAt)},"rule_count":${entries.length}}"""
+    s"""{"persona":${jsonStr(persona)},"version":$version,""" +
       s""""rules":[${entries.mkString(",")}],"metadata":$meta}"""
   }
+
+  /** JSON string literal for the hand-built artifact envelope — the rule
+    * entries are to_json-escaped already, but persona/source/timestamps are
+    * caller-supplied and must not corrupt the document.
+    */
+  private def jsonStr(s: String): String =
+    "\"" + s.flatMap {
+      case '"' => "\\\""
+      case '\\' => "\\\\"
+      case '\n' => "\\n"
+      case '\r' => "\\r"
+      case '\t' => "\\t"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    } + "\""
 
   /** _rule_to_seed_entry as JSON (rule/category/enrichment at entry level,
     * provenance nested — targets/_serialize.py:75-113).
@@ -271,6 +286,9 @@ object Projectors {
     * grouped by category. Returns (path, content).
     */
   def skillMarkdown(rules: DataFrame, skillName: String): (String, String) = {
+    require(skillName.matches("[A-Za-z0-9._-]+"),
+      s"skill name must be a plain identifier (got '$skillName') — it becomes " +
+        "a path segment and unquoted YAML frontmatter")
     val rows = rules
       .select(coalesce(col("category"), col("domain")).as("category"), col("text"))
       .orderBy(col("category"), col("text"))

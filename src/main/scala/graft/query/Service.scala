@@ -15,8 +15,12 @@ object Service {
   /** service.py:461 — the only outcome values feedback accepts. */
   val AllowedOutcomes: Set[String] = Set("accepted", "rejected", "partial")
 
-  /** service.py:462 — reward mapping used for credit propagation /
-    * learning observation (consumed by Thompson.posteriors).
+  /** service.py:462 — reward mapping used for credit propagation. Note
+    * rejected → −1.0 produces NEGATIVE credit, which lands in the beta
+    * (failure) side of Thompson posterior deltas via
+    * CreditAssigner.toPosteriorUpdates — it is not fed to
+    * Thompson.posteriors as a raw reward (which expects [0, 1] Bernoulli
+    * rewards; betaSample still guards sub-1 shapes defensively).
     */
   val OutcomeReward: Map[String, Double] =
     Map("accepted" -> 1.0, "rejected" -> -1.0, "partial" -> 0.3)
@@ -59,13 +63,16 @@ object Service {
         */
       creditEdges: Option[DataFrame] = None
   ): Either[String, FeedbackResult] = {
+    // isNull guard: !isin(...) is SQL-NULL (not true) for a null outcome,
+    // which would silently pass validation instead of rejecting the batch
     val invalid = outcomes
-      .filter(!col("outcome").isin(AllowedOutcomes.toSeq: _*))
+      .filter(col("outcome").isNull || !col("outcome").isin(AllowedOutcomes.toSeq: _*))
       .select(col("node_id"), col("outcome"))
       .limit(1).collect()
     if (invalid.nonEmpty) {
       val r = invalid.head
-      Left(s"Invalid outcome '${r.getString(1)}' for item '${r.getString(0)}'. " +
+      val bad = if (r.isNullAt(1)) "null" else r.getString(1)
+      Left(s"Invalid outcome '$bad' for item '${r.getString(0)}'. " +
         s"Must be one of: ${AllowedOutcomes.toSeq.sorted.mkString(", ")}")
     } else {
       val updated = EdgePromotion.updateFactors(factors, outcomes).localCheckpoint()
@@ -100,13 +107,24 @@ object Service {
       .groupBy { case (id, _) => id.substring(0, id.indexOf(':')) }
     if (byDomain.isEmpty) return None
 
+    // ONE oriented-edge scan for all touched domains (not one job per
+    // domain), grouped driver-side; each DAG is the bounded per-domain
+    // subgraph the reference also materializes in-process
+    val domains = byDomain.keySet.toSeq.sorted
+    val oriented = graft.causal.Causal.causalEdges(edges.filter(
+        substring_index(col("source_id"), ":", 1).isin(domains: _*) &&
+          substring_index(col("source_id"), ":", 1) ===
+            substring_index(col("target_id"), ":", 1)))
+      .select("src", "dst", "relation_type", "strength")
+      .collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2), r.getDouble(3)))
+    val edgesByDomain = oriented.groupBy(e => e._1.substring(0, e._1.indexOf(':')))
+
     val all = scala.collection.mutable.ArrayBuffer
       .empty[graft.causal.CreditAssigner.CreditAssignment]
     for ((domain, members) <- byDomain.toSeq.sortBy(_._1)) {
-      val domainEdges = edges.filter(
-        substring_index(col("source_id"), ":", 1) === domain &&
-          substring_index(col("target_id"), ":", 1) === domain)
-      val dag = graft.causal.CausalDag.fromEdgeFrame(domainEdges)
+      val dag = graft.causal.CausalDag.fromEdges(
+        edgesByDomain.getOrElse(domain, Array.empty).toSeq)
       val rewards = members.map { case (_, o) => OutcomeReward.getOrElse(o, 0.0) }
       val avgReward = rewards.sum / rewards.length
       val assigner = new graft.causal.CreditAssigner(dag)
@@ -114,11 +132,7 @@ object Service {
     }
     if (all.isEmpty) None
     else {
-      val deltas = all.toSeq.groupBy(_.conceptId).map { case (cid, as) =>
-        cid -> (
-          as.filter(_.credit >= 0).map(_.credit).sum,
-          as.filter(_.credit < 0).map(a => math.abs(a.credit)).sum)
-      }
+      val deltas = graft.causal.CreditAssigner.toPosteriorUpdates(all.toSeq)
       Some(CreditSummary(
         deltas.size,
         all.count(_.method == "direct"),

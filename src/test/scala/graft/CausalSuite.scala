@@ -38,6 +38,13 @@ class CausalSuite extends SparkFunSuite {
     assert(dag.topologicalOrder() == Seq("a", "b", "c"))
   }
 
+  test("cycle detection survives a deep path graph (no recursive DFS overflow)") {
+    val deep = (0 until 30000).map(i => (f"n$i%05d", f"n${i + 1}%05d", "REQUIRES", 0.9))
+    val dag = CausalDag.fromEdges(deep) // breakCycles → findCycle over 30k-deep DFS
+    assert(dag.isValidDag && dag.edgeCount == 30000)
+    assert(dag.ancestors("n30000").size == 30000)
+  }
+
   test("d-separation: chain, fork, collider, collider-descendant") {
     val d = new DSeparation(chainForkCollider())
     // chain A→B→C: blocked by B, open marginally

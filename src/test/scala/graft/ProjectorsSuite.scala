@@ -111,6 +111,16 @@ class ProjectorsSuite extends SparkFunSuite {
       .filter(col("provenance.relation_type").isNotNull).count() == 2)
   }
 
+  test("serializeRuleset envelope escapes hostile persona/timestamp strings") {
+    val (ex, dv) = fixtures()
+    val rules = Projectors.ruleSource(ex, dv)
+    val doc = Projectors.serializeRuleset(rules, persona = "team \"web\"\\alpha",
+      projectedAt = "2026-01-02T00:00:00Z")
+    val parsed = spark.read.json(Seq(doc).toDS)
+    assert(!parsed.columns.contains("_corrupt_record"), doc.take(200))
+    assert(parsed.select("persona").head.getString(0) == "team \"web\"\\alpha")
+  }
+
   test("flatYaml: list-of-dicts under a rules key, one entry per rule") {
     val (ex, dv) = fixtures()
     val rules = Projectors.enrichTemplate(Projectors.ruleSource(ex, dv))

@@ -80,6 +80,11 @@ class Round3Suite extends SparkFunSuite {
     assert(res.isLeft)
     assert(res.left.toOption.get ==
       "Invalid outcome 'maybe' for item 'b'. Must be one of: accepted, partial, rejected")
+    // a NULL outcome must also reject (SQL three-valued logic would
+    // otherwise let it slip past a plain !isin filter)
+    val withNull = Seq(("a", "accepted"), ("c", null)).toDF("node_id", "outcome")
+    val res2 = graft.query.Service.feedback(factors, withNull, "q-1b")
+    assert(res2.isLeft && res2.left.toOption.get.startsWith("Invalid outcome 'null'"))
   }
 
   test("Service.feedback: factor deltas, tallies, and snapshot persistence") {
@@ -213,6 +218,13 @@ class Round3Suite extends SparkFunSuite {
     val a = Thompson.select(arms, states, k = 2, seed = 99L)
     val b = Thompson.select(arms, states, k = 2, seed = 99L)
     assert(a.selected.map(_.id) == b.selected.map(_.id) && a.scores == b.scores)
+    // degenerate posteriors from signed credit (alpha ≤ 1/3) must sample a
+    // finite probability, never NaN
+    val rng = new java.util.Random(1L)
+    for (shape <- Seq(0.0, 0.1, 0.3, 0.5)) {
+      val s = Thompson.betaSample(rng, shape, 1.0)
+      assert(!s.isNaN && s >= 0.0 && s <= 1.0, s"betaSample(a=$shape) gave $s")
+    }
   }
 
   test("VectorIndex merge-on-read: upsert cost is the delta, not the table") {
