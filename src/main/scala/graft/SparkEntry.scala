@@ -465,6 +465,20 @@ object SparkEntry {
       graft.causal.CausalRules.derive(dag, "web")
         .withColumn("source_concepts", concat_ws(",", col("source_concepts")))
     }),
+    "q46_credit_stream" -> ((s, dir) => {
+      implicit val sp = s
+      // distributed causal credit over a reward stream: fixed chain
+      // A →0.81→ B →0.81→ C (REQUIRES conf 0.9 × default 0.9), rewards ±1
+      // alternating by vec_id — posterior deltas per concept
+      val dag = graft.causal.CausalDag.fromEdges(Seq(
+        ("A", "B", "REQUIRES", 0.9 * 0.9), ("B", "C", "REQUIRES", 0.9 * 0.9)))
+      val rewards = t(s, dir, "embeddings").select(
+        array(lit("C")).as("concept_ids"),
+        when(col("vec_id") % 2 === 0, 1.0).otherwise(-1.0).as("reward"))
+      new graft.causal.CreditAssigner(dag).creditStream(rewards)
+        .withColumn("alpha_delta", round(col("alpha_delta"), 6))
+        .withColumn("beta_delta", round(col("beta_delta"), 6))
+    }),
     "q30_edge_promotion" -> ((s, dir) => {
       implicit val sp = s
       // synthetic observation stream: repeated high-cosine pairs from the
@@ -707,6 +721,23 @@ object SparkEntry {
     "q32_rules_derived" -> derivedRulesOracleSql,
     "q41_projection" -> projectionOracleSql,
     "q42_retrieval_rules" -> retrievalRulesOracleSql,
+    "q46_credit_stream" ->
+      // credit.py semantics on the fixed chain: direct = reward; each
+      // ancestor hop multiplies by decay 0.5 × edge strength 0.81 (same
+      // association order as the operator; round(6) absorbs sum-order ulps)
+      """WITH r AS (SELECT CASE WHEN vec_id % 2 = 0 THEN CAST(1.0 AS DOUBLE)
+        |                       ELSE CAST(-1.0 AS DOUBLE) END AS reward
+        |           FROM embeddings),
+        |f(concept_id, factor) AS (VALUES
+        |  ('C', CAST(1.0 AS DOUBLE)),
+        |  ('B', CAST(0.5 AS DOUBLE) * (CAST(0.9 AS DOUBLE) * CAST(0.9 AS DOUBLE))),
+        |  ('A', CAST(0.5 AS DOUBLE) * (CAST(0.9 AS DOUBLE) * CAST(0.9 AS DOUBLE))
+        |      * CAST(0.5 AS DOUBLE) * (CAST(0.9 AS DOUBLE) * CAST(0.9 AS DOUBLE)))),
+        |x AS (SELECT f.concept_id, r.reward * f.factor AS credit FROM r CROSS JOIN f)
+        |SELECT concept_id,
+        |  round(sum(CASE WHEN credit >= 0 THEN credit ELSE CAST(0 AS DOUBLE) END), 6) AS alpha_delta,
+        |  round(sum(CASE WHEN credit < 0 THEN -credit ELSE CAST(0 AS DOUBLE) END), 6) AS beta_delta
+        |FROM x GROUP BY concept_id""".stripMargin,
     "q43_feedback_drift" ->
       // factors.py:36-45 deltas + [0.1, 5.0] clamp, then the q37 one-pass
       // drift identity over the UPDATED factors
