@@ -49,9 +49,29 @@ object Ppr {
     // loop block pays Catalyst re-analysis/optimization of the whole
     // extraction→linking→pruning tree (measured: 754 s for 25 iterations on
     // a 1.5k-node graph). Checkpointing truncates the plan to a leaf.
-    val adj = und.join(outW, Seq("src"))
+    val adj0 = und.join(outW, Seq("src"))
       .select(col("src"), col("dst"), (col("w") / col("wout")).as("p"))
       .localCheckpoint()
+    // right-size the loop's partitioning from the MEASURED adjacency: the
+    // session's spark.sql.shuffle.partitions (sized for corpus-scale
+    // stages) makes every one of the 25+ iterations pay mostly-empty
+    // tasks on a small query graph; ~100k edges per partition keeps a
+    // 10⁹-edge graph at real-cluster width while a 10³-edge retrieval
+    // graph runs the whole loop in ONE task per stage.
+    val parts = math.max(1, (adj0.count() / 100000L).toInt + 1)
+    val adj =
+      if (adj0.rdd.getNumPartitions <= parts) adj0
+      else adj0.repartition(parts, col("src")).localCheckpoint()
+
+    // scope the session's shuffle width to the measured graph for the
+    // whole loop: the corpus-sized spark.sql.shuffle.partitions makes
+    // every iteration pay a fleet of empty tasks on a small query graph
+    // (25 iterations × 32 partitions of a 1.5k-node exchange). All frames
+    // the loop publishes are checkpointed before the width is restored.
+    val shuffleConf = "spark.sql.shuffle.partitions"
+    val prevShuffle = spark.conf.get(shuffleConf)
+    if (parts < prevShuffle.toInt) spark.conf.set(shuffleConf, parts.toString)
+    try {
 
     // node set = edge endpoints ∪ seed ids: the reference's InMemory PPR
     // personalizes over ALL graph nodes (memory.py:304-315), so a seed with
@@ -111,5 +131,6 @@ object Ppr {
     }
     adj.unpersist(); nodes.unpersist(); persisted.unpersist()
     ranks.filter(col("rank") > minScore)
+    } finally spark.conf.set(shuffleConf, prevShuffle)
   }
 }
