@@ -142,6 +142,9 @@ object Canon {
       // label-propagation round plans against a leaf, not the full pipeline.
       .localCheckpoint()
 
+    // shuffle width sized to the measured synonym-edge set for the whole
+    // loop (graft.core.Loops) — all published frames are checkpointed
+    graft.core.Loops.withShuffleWidth(spark, edges.count()) {
     var labels = edges
       .select(col("src").as("id"))
       .distinct()
@@ -180,6 +183,7 @@ object Canon {
           s"$changed labels still changing — components larger than the round " +
           s"budget would get split canonical ids; raise maxIterations")
     (labels.withColumnRenamed("label", "canonical_id"), iter)
+    }
   }
 
   /** Connected components via alternating large-star / small-star rounds
@@ -244,6 +248,7 @@ object Canon {
       .filter(col("a") =!= col("b"))
       .distinct()
       .localCheckpoint()
+    graft.core.Loops.withShuffleWidth(spark, edges.count()) {
     var iter = 0
     var prev = (-1L, 0L)
     var cur = fingerprint(edges)
@@ -262,7 +267,9 @@ object Canon {
     val labels = allNodes
       .join(edges.withColumnRenamed("a", "id"), Seq("id"), "left")
       .select(col("id"), coalesce(col("b"), col("id")).as("canonical_id"))
+      .localCheckpoint()
     (labels, iter)
+    }
   }
 
   /** Full canonicalization: synonym edges (alias + abbreviation +

@@ -27,6 +27,8 @@ object Bfs {
       .distinct()
       .localCheckpoint()
 
+    // shuffle width sized to the measured edge set (graft.core.Loops)
+    graft.core.Loops.withShuffleWidth(spark, und.count()) {
     var best = seeds.select(col("id")).distinct().withColumn("score", lit(1.0))
       .localCheckpoint()
     var frontier = best
@@ -46,6 +48,7 @@ object Bfs {
       depth += 1
     }
     best
+    }
   }
 
   /** G3 — `explore` neighborhood (src/qortex/service.py:827-914): BFS to

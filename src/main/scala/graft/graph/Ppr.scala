@@ -64,14 +64,9 @@ object Ppr {
       else adj0.repartition(parts, col("src")).localCheckpoint()
 
     // scope the session's shuffle width to the measured graph for the
-    // whole loop: the corpus-sized spark.sql.shuffle.partitions makes
-    // every iteration pay a fleet of empty tasks on a small query graph
-    // (25 iterations × 32 partitions of a 1.5k-node exchange). All frames
-    // the loop publishes are checkpointed before the width is restored.
-    val shuffleConf = "spark.sql.shuffle.partitions"
-    val prevShuffle = spark.conf.get(shuffleConf)
-    if (parts < prevShuffle.toInt) spark.conf.set(shuffleConf, parts.toString)
-    try {
+    // whole loop (graft.core.Loops): every published frame below is
+    // checkpointed before the width is restored.
+    graft.core.Loops.withShuffleWidth(spark, adj.count()) {
 
     // node set = edge endpoints ∪ seed ids: the reference's InMemory PPR
     // personalizes over ALL graph nodes (memory.py:304-315), so a seed with
@@ -131,6 +126,6 @@ object Ppr {
     }
     adj.unpersist(); nodes.unpersist(); persisted.unpersist()
     ranks.filter(col("rank") > minScore)
-    } finally spark.conf.set(shuffleConf, prevShuffle)
+    }
   }
 }
