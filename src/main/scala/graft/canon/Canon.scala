@@ -306,7 +306,11 @@ object Canon {
       aliasPairs: DataFrame,
       nameSimThreshold: Double = 0.6
   )(implicit spark: SparkSession): DataFrame = {
-    val cc = connectedComponents(synonymEdges(concepts, aliasPairs, nameSimThreshold))
+    // star CC is the production path: O(log n) rounds vs min-label's
+    // O(diameter), so a pathological alias chain cannot stretch the loop.
+    // Labels are identical (component minima) — the q28 oracle and the
+    // min-label equivalence property pin that.
+    val cc = connectedComponentsStar(synonymEdges(concepts, aliasPairs, nameSimThreshold))
     concepts
       .select(col("id"))
       .join(cc, Seq("id"), "left")

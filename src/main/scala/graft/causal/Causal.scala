@@ -63,6 +63,55 @@ object Causal {
         col("relation_type"),
         (col("confidence") * col("__s")).as("strength"))
   }
+
+  /** The reference's in-process graph bound: dag.py:96 loads at most
+    * 100 000 nodes via find_nodes(limit=...). Every distributed→driver
+    * collect in this package (and Service.propagateCredit) goes through
+    * [[collectEdgesBounded]] / [[collectIdsBounded]] with this default so
+    * one hot domain cannot OOM the driver silently at 100× scale.
+    */
+  val MaxDriverGraph = 100000
+
+  /** Collect oriented causal edges with a hard cap. The cheap path probes
+    * `limit(max+1)`; only an over-cap frame pays the deterministic
+    * strongest-first re-fetch (order by strength desc, then src/dst), so
+    * truncation keeps the highest-signal subgraph and is reproducible.
+    * Loud on drop — never a silent truncation.
+    */
+  def collectEdgesBounded(
+      oriented: DataFrame, // (src, dst, relation_type, strength)
+      maxEdges: Int = MaxDriverGraph): Seq[(String, String, String, Double)] = {
+    def decode(rows: Array[org.apache.spark.sql.Row]) =
+      rows.toSeq.map(r => (r.getString(0), r.getString(1), r.getString(2), r.getDouble(3)))
+    val probe = oriented.limit(maxEdges + 1).collect()
+    if (probe.length <= maxEdges) decode(probe)
+    else {
+      System.err.println(
+        s"[graft] WARN causal driver graph over cap: > $maxEdges oriented edges; " +
+          s"keeping the $maxEdges strongest (deterministic strength-desc order). " +
+          "The reference bounds its in-process DAG the same way (dag.py:96).")
+      decode(oriented
+        .orderBy(col("strength").desc, col("src").asc, col("dst").asc)
+        .limit(maxEdges).collect())
+    }
+  }
+
+  /** Collect an id column with a hard cap (find_nodes limit=100_000,
+    * dag.py:105). Deterministic ascending order on the over-cap path.
+    */
+  def collectIdsBounded(
+      ids: DataFrame, // single string column
+      maxNodes: Int = MaxDriverGraph): Seq[String] = {
+    val c = col(ids.columns.head)
+    val probe = ids.limit(maxNodes + 1).collect()
+    if (probe.length <= maxNodes) probe.toSeq.map(_.getString(0))
+    else {
+      System.err.println(
+        s"[graft] WARN causal driver node set over cap: > $maxNodes ids; " +
+          s"keeping the first $maxNodes in ascending id order (dag.py:96 bound).")
+      ids.orderBy(c.asc).limit(maxNodes).collect().toSeq.map(_.getString(0))
+    }
+  }
 }
 
 /** One domain's causal DAG: adjacency + strengths, acyclic after
@@ -71,13 +120,22 @@ object Causal {
   * places on its networkx graph.
   */
 final class CausalDag private (
-    initialEdges: Seq[(String, String, String, Double)]) extends Serializable {
+    initialEdges: Seq[(String, String, String, Double)],
+    /** Isolated nodes with no causal edges — from_backend loads ALL domain
+      * nodes before the edges (dag.py:105-113), so an edge-less concept is
+      * still a DAG node and receives direct credit.
+      */
+    extraNodes: Seq[String] = Seq.empty) extends Serializable {
 
   private val adj = scala.collection.mutable.Map.empty[String, scala.collection.mutable.LinkedHashSet[String]]
   private val radj = scala.collection.mutable.Map.empty[String, scala.collection.mutable.LinkedHashSet[String]]
   private val strengths = scala.collection.mutable.Map.empty[(String, String), Double]
   private val rels = scala.collection.mutable.Map.empty[(String, String), String]
 
+  extraNodes.foreach { n =>
+    adj.getOrElseUpdate(n, scala.collection.mutable.LinkedHashSet.empty)
+    radj.getOrElseUpdate(n, scala.collection.mutable.LinkedHashSet.empty)
+  }
   initialEdges.foreach { case (s, t, rel, w) =>
     adj.getOrElseUpdate(s, scala.collection.mutable.LinkedHashSet.empty)
     adj.getOrElseUpdate(t, scala.collection.mutable.LinkedHashSet.empty)
@@ -184,23 +242,32 @@ final class CausalDag private (
 
 object CausalDag {
 
-  /** Build from explicit directed edges (dag.py:46-82). */
-  def fromEdges(edges: Seq[(String, String, String, Double)]): CausalDag =
-    new CausalDag(edges)
+  /** Build from explicit directed edges (dag.py:46-82), optionally seeding
+    * edge-less nodes (from_backend's find_nodes pass, dag.py:105-113).
+    */
+  def fromEdges(
+      edges: Seq[(String, String, String, Double)],
+      nodes: Seq[String] = Seq.empty): CausalDag =
+    new CausalDag(edges, nodes)
 
   /** Build from a KG edge table: distributed orientation via
-    * Causal.causalEdges, then collect ONE domain's oriented subgraph
-    * (bounded — dag.py:96 reads at most 100k nodes the same way).
+    * Causal.causalEdges, then collect ONE domain's oriented subgraph —
+    * ENFORCED bound at `maxEdges` (dag.py:96 reads at most 100k nodes the
+    * same way; over-cap keeps the strongest edges, loudly). `nodeIds`
+    * optionally seeds the node set with the domain's concept ids (capped
+    * at `maxEdges` too) so isolated concepts stay credit-addressable.
     */
   def fromEdgeFrame(
       edges: DataFrame,
-      mapping: Map[String, (String, Double)] = Causal.RelationCausalDirection
+      mapping: Map[String, (String, Double)] = Causal.RelationCausalDirection,
+      maxEdges: Int = Causal.MaxDriverGraph,
+      nodeIds: Option[DataFrame] = None
   )(implicit spark: SparkSession): CausalDag = {
-    val rows = Causal.causalEdges(edges, mapping)
-      .select("src", "dst", "relation_type", "strength")
-      .collect()
-      .map(r => (r.getString(0), r.getString(1), r.getString(2), r.getDouble(3)))
-    new CausalDag(rows.toSeq)
+    val rows = Causal.collectEdgesBounded(
+      Causal.causalEdges(edges, mapping).select("src", "dst", "relation_type", "strength"),
+      maxEdges)
+    val nodes = nodeIds.map(Causal.collectIdsBounded(_, maxEdges)).getOrElse(Seq.empty)
+    new CausalDag(rows, nodes)
   }
 }
 

@@ -58,7 +58,8 @@ object Ppr {
     // tasks on a small query graph; ~100k edges per partition keeps a
     // 10⁹-edge graph at real-cluster width while a 10³-edge retrieval
     // graph runs the whole loop in ONE task per stage.
-    val parts = math.max(1, (adj0.count() / 100000L).toInt + 1)
+    val adjRows = adj0.count()
+    val parts = math.max(1, (adjRows / 100000L).toInt + 1)
     val adj =
       if (adj0.rdd.getNumPartitions <= parts) adj0
       else adj0.repartition(parts, col("src")).localCheckpoint()
@@ -66,7 +67,7 @@ object Ppr {
     // scope the session's shuffle width to the measured graph for the
     // whole loop (graft.core.Loops): every published frame below is
     // checkpointed before the width is restored.
-    graft.core.Loops.withShuffleWidth(spark, adj.count()) {
+    graft.core.Loops.withShuffleWidth(spark, adjRows) {
 
     // node set = edge endpoints ∪ seed ids: the reference's InMemory PPR
     // personalizes over ALL graph nodes (memory.py:304-315), so a seed with

@@ -121,11 +121,11 @@ object Thompson {
     val remainingK = math.max(effectiveK - forced.size, 0)
     val isBaseline = rng.nextDouble() < baselineRate
 
-    val (ranked, scores) =
+    val (ranked, sampledScores) =
       if (isBaseline) {
         val shuffled = rng.ints(0, Int.MaxValue).limit(eligible.size).toArray
           .zip(eligible).sortBy(_._1).map(_._2).toSeq
-        (shuffled, candidates.map(a => a.id -> 0.5).toMap)
+        (shuffled, Map.empty[String, Double])
       } else {
         val s = candidates
           .map(a => a.id -> {
@@ -147,6 +147,11 @@ object Thompson {
       }
     }
     val pickedIds = picked.map(_.id).toSet
+    // baseline rounds score only the SELECTED arms at 0.5 (strategy.py:103
+    // returns `{a.id: 0.5 for a in selected}`); Thompson rounds keep every
+    // candidate's sampled draw, like the reference's scores dict
+    val scores =
+      if (isBaseline) picked.map(a => a.id -> 0.5).toMap else sampledScores
     SelectionResult(picked.toSeq, candidates.filterNot(a => pickedIds(a.id)),
       isBaseline, scores, tokenBudget, used)
   }

@@ -84,7 +84,8 @@ final class GraftService(store: SnapshotStore)(implicit spark: SparkSession) {
     val df = outcomes.toSeq.toDF("node_id", "outcome")
     val res = Service.feedback(factors, df, queryId,
       persistTo = Some((store, "factors")),
-      creditEdges = if (propagateCredit) Some(edges) else None)
+      creditEdges = if (propagateCredit) Some(edges) else None,
+      creditConcepts = if (propagateCredit) Some(concepts) else None)
     if (res.isRight) feedbackCounter.incrementAndGet()
     res
   }

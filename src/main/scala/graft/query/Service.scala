@@ -61,7 +61,16 @@ object Service {
         * DAG ancestry into Thompson posterior deltas
         * (service._maybe_propagate_credit, service.py:1608-1681).
         */
-      creditEdges: Option[DataFrame] = None
+      creditEdges: Option[DataFrame] = None,
+      /** Concepts table (id, domain, ...); when given alongside
+        * `creditEdges`, credit propagation mirrors the reference's
+        * get_node pass (service.py:1628-1631): outcome ids missing from
+        * the KG are excluded from credit AND the domain average, the
+        * domain comes from the node row, and each domain's DAG is seeded
+        * with ALL of the domain's concept ids (dag.py:105-113) so an
+        * edge-less concept still receives direct credit.
+        */
+      creditConcepts: Option[DataFrame] = None
   ): Either[String, FeedbackResult] = {
     // isNull guard: !isin(...) is SQL-NULL (not true) for a null outcome,
     // which would silently pass validation instead of rejecting the batch
@@ -81,7 +90,7 @@ object Service {
       persistTo.foreach { case (store, table) =>
         store.commitReplace(table, updated, Seq.empty)
       }
-      val credit = creditEdges.flatMap(e => propagateCredit(e, outcomes))
+      val credit = creditEdges.flatMap(e => propagateCredit(e, outcomes, creditConcepts))
       Right(FeedbackResult("recorded", queryId, tallies.values.sum,
         tallies.getOrElse("accepted", 0L), tallies.getOrElse("rejected", 0L),
         tallies.getOrElse("partial", 0L), updated, credit))
@@ -98,37 +107,68 @@ object Service {
     */
   def propagateCredit(
       edges: DataFrame,
-      outcomes: DataFrame // (node_id, outcome)
+      outcomes: DataFrame, // (node_id, outcome)
+      /** (id, domain, ...) — see [[feedback]]'s `creditConcepts`. */
+      concepts: Option[DataFrame] = None
   ): Option[CreditSummary] = {
     implicit val spark: org.apache.spark.sql.SparkSession = edges.sparkSession
-    val rows = outcomes.select(col("node_id"), col("outcome")).collect()
-      .map(r => (r.getString(0), r.getString(1)))
-    val byDomain = rows.filter(_._1.contains(":"))
-      .groupBy { case (id, _) => id.substring(0, id.indexOf(':')) }
+    // (id, outcome, domain): with a concepts table, unknown ids are
+    // dropped HERE — before the domain grouping — so they count toward
+    // neither credit nor the domain's average reward (the reference's
+    // backend.get_node check, service.py:1628-1631)
+    val rows: Seq[(String, String, String)] = concepts match {
+      case Some(c) =>
+        outcomes
+          .join(c.select(col("id").as("node_id"), col("domain")), Seq("node_id"))
+          .select(col("node_id"), col("outcome"), col("domain"))
+          .collect().toSeq
+          .map(r => (r.getString(0), r.getString(1), r.getString(2)))
+      case None =>
+        outcomes.select(col("node_id"), col("outcome")).collect().toSeq
+          .collect { case r if r.getString(0).contains(":") =>
+            val id = r.getString(0)
+            (id, r.getString(1), id.substring(0, id.indexOf(':')))
+          }
+    }
+    val byDomain = rows.groupBy(_._3)
     if (byDomain.isEmpty) return None
 
     // ONE oriented-edge scan for all touched domains (not one job per
     // domain), grouped driver-side; each DAG is the bounded per-domain
-    // subgraph the reference also materializes in-process
+    // subgraph the reference also materializes in-process. The collect is
+    // CAPPED (Causal.MaxDriverGraph, mirroring dag.py:96) — a hot domain
+    // truncates loudly instead of OOMing the driver.
     val domains = byDomain.keySet.toSeq.sorted
-    val oriented = graft.causal.Causal.causalEdges(edges.filter(
-        substring_index(col("source_id"), ":", 1).isin(domains: _*) &&
-          substring_index(col("source_id"), ":", 1) ===
-            substring_index(col("target_id"), ":", 1)))
-      .select("src", "dst", "relation_type", "strength")
-      .collect()
-      .map(r => (r.getString(0), r.getString(1), r.getString(2), r.getDouble(3)))
+    val oriented = graft.causal.Causal.collectEdgesBounded(
+      graft.causal.Causal.causalEdges(edges.filter(
+          substring_index(col("source_id"), ":", 1).isin(domains: _*) &&
+            substring_index(col("source_id"), ":", 1) ===
+              substring_index(col("target_id"), ":", 1)))
+        .select("src", "dst", "relation_type", "strength"))
     val edgesByDomain = oriented.groupBy(e => e._1.substring(0, e._1.indexOf(':')))
+
+    // from_backend's find_nodes pass (dag.py:105-113): seed each domain's
+    // DAG with ALL its concept ids, capped like the reference's
+    // find_nodes(limit=100_000), so edge-less concepts get direct credit
+    val nodesByDomain: Map[String, Seq[String]] = concepts match {
+      case Some(c) =>
+        graft.causal.Causal.collectIdsBounded(
+            c.filter(col("domain").isin(domains: _*)).select(col("id")))
+          .filter(_.contains(":"))
+          .groupBy(id => id.substring(0, id.indexOf(':')))
+      case None => Map.empty
+    }
 
     val all = scala.collection.mutable.ArrayBuffer
       .empty[graft.causal.CreditAssigner.CreditAssignment]
     for ((domain, members) <- byDomain.toSeq.sortBy(_._1)) {
       val dag = graft.causal.CausalDag.fromEdges(
-        edgesByDomain.getOrElse(domain, Array.empty).toSeq)
-      val rewards = members.map { case (_, o) => OutcomeReward.getOrElse(o, 0.0) }
+        edgesByDomain.getOrElse(domain, Seq.empty),
+        nodesByDomain.getOrElse(domain, Seq.empty))
+      val rewards = members.map { case (_, o, _) => OutcomeReward.getOrElse(o, 0.0) }
       val avgReward = rewards.sum / rewards.length
       val assigner = new graft.causal.CreditAssigner(dag)
-      all ++= assigner.assignCredit(members.map(_._1).toSeq, avgReward)
+      all ++= assigner.assignCredit(members.map(_._1), avgReward)
     }
     if (all.isEmpty) None
     else {

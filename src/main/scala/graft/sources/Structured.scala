@@ -157,10 +157,15 @@ object Structured {
   def discoverSchema(
       url: String,
       schemaPattern: String = null,
-      checkConstraintSql: Option[String] = None
+      checkConstraintSql: Option[String] = None,
+      /** Connection properties (user/password/...) — same object shape
+        * `readTable` takes, so S8/S9 authenticate identically against a
+        * credentialed Postgres.
+        */
+      properties: java.util.Properties = new java.util.Properties()
   )(implicit spark: SparkSession): (DataFrame, DataFrame, DataFrame) = {
     import spark.implicits._
-    val conn = java.sql.DriverManager.getConnection(url)
+    val conn = java.sql.DriverManager.getConnection(url, properties)
     try {
       val md = conn.getMetaData
       val tableNames = {

@@ -1,0 +1,142 @@
+package graft
+
+import graft.canon.Canon
+import graft.causal.{Causal, CausalDag}
+import graft.graph.Ppr
+import graft.learning.Thompson
+import graft.query.Service
+import org.apache.spark.sql.functions._
+
+/** Round-4 regression tests: loop shuffle-width concurrency safety, the
+  * causal driver-collect caps, DAG node seeding for credit propagation,
+  * and the Thompson baseline score shape.
+  */
+class Round4Suite extends SparkFunSuite {
+  import spark.implicits._
+
+  // ---- Loops concurrency -------------------------------------------------
+
+  test("withShuffleWidth: concurrent PPR and CC on one session match serial runs") {
+    val edges = (0 until 40).map(i => (s"n$i", s"n${(i + 1) % 40}", 0.9))
+      .toDF("source_id", "target_id", "confidence").localCheckpoint()
+    val seeds = Seq(("n0", 1.0)).toDF("id", "weight").localCheckpoint()
+    val pairs = (0 until 30).map(i => (s"c${i / 3 * 3}", s"c$i"))
+      .toDF("id_a", "id_b").localCheckpoint()
+
+    def pprRun() = Ppr.run(edges, seeds, tol = 0.0, maxIter = 10)
+      .collect().map(r => (r.getString(0), math.round(r.getDouble(1) * 1e9))).toSet
+    def ccRun() = Canon.connectedComponents(pairs)
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+
+    val serialPpr = pprRun()
+    val serialCc = ccRun()
+    val prevWidth = spark.conf.get("spark.sql.shuffle.partitions")
+
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    // several interleaved rounds: each pair races loop-entry/planning/restore
+    for (_ <- 0 until 3) {
+      val fp = Future(pprRun())
+      val fc = Future(ccRun())
+      assert(Await.result(fp, 120.seconds) == serialPpr)
+      assert(Await.result(fc, 120.seconds) == serialCc)
+    }
+    assert(spark.conf.get("spark.sql.shuffle.partitions") == prevWidth,
+      "loop scoping must restore the session shuffle width")
+  }
+
+  test("withShuffleWidth: non-numeric conf value skips scoping instead of throwing") {
+    // OSS Spark validates this conf as int at set-time, so the non-numeric
+    // case only arrives via platform defaults ("auto") — pin the parse
+    assert(graft.core.Loops.parseWidth("auto").isEmpty)
+    assert(graft.core.Loops.parseWidth(" 32 ").contains(32))
+  }
+
+  // ---- causal driver-boundary caps ---------------------------------------
+
+  test("fromEdgeFrame: over-cap edge collect truncates to the strongest, loudly") {
+    // 10 REQUIRES edges, strengths descending with source index
+    val edges = (0 until 10).map(i =>
+        (s"d:s$i", s"d:t$i", "REQUIRES", 1.0 - i * 0.05))
+      .toDF("source_id", "target_id", "relation_type", "confidence")
+    val dag = CausalDag.fromEdgeFrame(edges, maxEdges = 4)
+    assert(dag.edgeCount == 4)
+    // strongest-first deterministic truncation: s0..s3 survive (highest conf)
+    assert(dag.edges.map(_._1).toSet == Set("d:s0", "d:s1", "d:s2", "d:s3"))
+    // under the cap: untouched
+    assert(CausalDag.fromEdgeFrame(edges, maxEdges = 100).edgeCount == 10)
+  }
+
+  test("collectIdsBounded: over-cap keeps the ascending-id prefix") {
+    val ids = (0 until 20).map(i => f"id$i%02d").reverse.toDF("id")
+    val kept = Causal.collectIdsBounded(ids, maxNodes = 5)
+    assert(kept.sorted == (0 until 5).map(i => f"id$i%02d"))
+  }
+
+  // ---- credit propagation node seeding (ADVICE r3, medium) ---------------
+
+  test("propagateCredit: edge-less concept gets direct credit when concepts are given") {
+    val edges = Seq(("web:A", "web:B", "REQUIRES", 0.9))
+      .toDF("source_id", "target_id", "relation_type", "confidence")
+    val concepts = Seq(("web:A", "web"), ("web:B", "web"), ("web:Island", "web"))
+      .toDF("id", "domain")
+    val outcomes = Seq(("web:Island", "accepted")).toDF("node_id", "outcome")
+
+    // without the concepts table the isolated id is not a DAG node → no credit
+    assert(Service.propagateCredit(edges, outcomes).isEmpty)
+
+    // with it, from_backend's find_nodes pass seeds the node → direct credit
+    val credit = Service.propagateCredit(edges, outcomes, Some(concepts))
+    assert(credit.isDefined)
+    assert(credit.get.directCount == 1)
+    assert(credit.get.posteriorDeltas("web:Island") == ((1.0, 0.0)))
+  }
+
+  test("propagateCredit: ids missing from the KG are excluded from the domain average") {
+    val edges = Seq(("web:A", "web:B", "REQUIRES", 0.9))
+      .toDF("source_id", "target_id", "relation_type", "confidence")
+    val concepts = Seq(("web:A", "web"), ("web:B", "web")).toDF("id", "domain")
+    // known id accepted (+1), unknown id rejected (−1): the reference's
+    // get_node check drops the unknown row, so avg reward = +1, not 0
+    val outcomes = Seq(("web:B", "accepted"), ("web:Ghost", "rejected"))
+      .toDF("node_id", "outcome")
+    val credit = Service.propagateCredit(edges, outcomes, Some(concepts))
+    assert(credit.isDefined)
+    // direct credit for B at avg=1.0, ancestor credit for A at 0.5·0.81
+    val deltas = credit.get.posteriorDeltas
+    assert(deltas("web:B") == ((1.0, 0.0)))
+    assert(math.abs(deltas("web:A")._1 - 0.5 * 0.81) < 1e-12)
+    assert(!deltas.contains("web:Ghost"))
+  }
+
+  // ---- Thompson baseline score shape (ADVICE r3, low) --------------------
+
+  test("Thompson baseline round scores only the selected arms at 0.5") {
+    val arms = (0 until 6).map(i => Thompson.Arm(s"a$i"))
+    val r = Thompson.select(arms, Map.empty, k = 3, seed = 7L, baselineRate = 1.0)
+    assert(r.isBaseline)
+    assert(r.selected.size == 3)
+    assert(r.scores.keySet == r.selected.map(_.id).toSet)
+    assert(r.scores.values.forall(_ == 0.5))
+    // Thompson rounds still score every candidate (reference scores dict)
+    val t = Thompson.select(arms, Map.empty, k = 3, seed = 7L, baselineRate = 0.0)
+    assert(t.scores.keySet == arms.map(_.id).toSet)
+  }
+
+  // ---- canonicalMap through star CC --------------------------------------
+
+  test("canonicalMap labels are component minima through the star-CC path") {
+    val concepts = Seq("web:A Cache", "web:B Cache", "web:C Cache", "web:Solo Thing")
+      .map(id => (id, id.stripPrefix("web:")))
+      .toDF("id", "name")
+    val aliases = Seq(("A Cache", "B Cache"), ("B Cache", "C Cache"))
+      .toDF("name_a", "name_b")
+    val got = Canon.canonicalMap(concepts, aliases, nameSimThreshold = 2.0)
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(got("web:A Cache") == "web:A Cache")
+    assert(got("web:B Cache") == "web:A Cache")
+    assert(got("web:C Cache") == "web:A Cache")
+    assert(got("web:Solo Thing") == "web:Solo Thing") // identity fallback
+  }
+}
