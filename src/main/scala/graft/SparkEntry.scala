@@ -23,6 +23,12 @@ object SparkEntry {
   private def t(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
 
+  /** q47's non-default context hash — ONE constant shared by the Spark
+    * query and the DuckDB oracle SQL (computed, not hand-copied).
+    */
+  private val AltContextHash: String =
+    graft.learning.Learner.contextHash(Map("task" -> "alt"))
+
   /** Flagship: KG triple extraction over a deterministic generated pages
     * table (the engine's core operator). Driver smoke-checks rows > 0.
     */
@@ -107,6 +113,10 @@ object SparkEntry {
       df.coalesce(1).write.mode("overwrite").parquet(s"$FixturesDir/$name")
     w(shared.ex, "extractions")
     w(shared.edges, "pruned_edges")
+    // pruning INPUT (resolved, unpruned edges) — the q27 oracle re-runs
+    // the P0–P6 pipeline from this in independent SQL
+    w(Linking.resolveEdges(Ingest.triplesOf(shared.ex), shared.concepts),
+      "resolved_edges")
     w(shared.concepts.drop("embedding"), "concepts_lite")
     val sents = graft.rules.Rules.normativeSentences(Ingest.ruleSentencesOf(shared.ex))
     w(sents, "rule_sentences")
@@ -479,6 +489,24 @@ object SparkEntry {
         .withColumn("alpha_delta", round(col("alpha_delta"), 6))
         .withColumn("beta_delta", round(col("beta_delta"), 6))
     }),
+    "q47_learner_state" -> ((s, dir) => {
+      implicit val sp = s
+      // the Learner facade's distributed state derivation: seed boosts
+      // (default context only, learner.py:78-95) + TernaryReward mapping
+      // + one posterior aggregation over a deterministic observation
+      // stream keyed by the events table
+      val obs = t(s, dir, "events").select(
+        when(col("event_id") % 2 === 0, lit("default"))
+          .otherwise(lit(AltContextHash)).as("context_hash"),
+        col("event_type").as("arm_id"),
+        when(col("value") > 100, "accepted")
+          .when(col("value") > 10, "partial")
+          .otherwise("rejected").as("outcome"))
+      graft.learning.Learner.posteriorState(obs,
+        graft.learning.LearnerConfig("graft",
+          seedArms = Seq("click", "signup", "dormant")))
+        .withColumn("posterior_mean", round(col("posterior_mean"), 6))
+    }),
     "q30_edge_promotion" -> ((s, dir) => {
       implicit val sp = s
       // synthetic observation stream: repeated high-cosine pairs from the
@@ -715,6 +743,7 @@ object SparkEntry {
          |  mention_count, CAST(384 AS INT), 'feature-hash-384-v1',
          |  '${graft.core.TextSpec.version}', '', 'illustrative', coalesce(illustrates, '')
          |FROM orph WHERE rn = 1""".stripMargin,
+    "q27_kg_edges_pruned" -> pruningOracleSql,
     "q28_kg_canon_map" -> ccOracleSql,
     "q29_ppr" -> pprOracleSql,
     "q31_rules_explicit" -> explicitRulesOracleSql,
@@ -795,6 +824,34 @@ object SparkEntry {
         |SELECT arm_id, alpha, beta, pulls, total_reward,
         |  round(alpha / (alpha + beta), 6) AS posterior_mean
         |FROM p""".stripMargin,
+    "q47_learner_state" ->
+      // learner.py seed boosts + reward.py TernaryReward + the
+      // strategy.py posterior identity, in plain SQL; rewards are
+      // multiples of 0.5 so sums are exact in both engines
+      s"""WITH obs AS (SELECT
+         |  CASE WHEN event_id % 2 = 0 THEN 'default' ELSE '$AltContextHash' END AS context_hash,
+         |  event_type AS arm_id,
+         |  CASE WHEN value > 100 THEN CAST(1.0 AS DOUBLE)
+         |       WHEN value > 10 THEN CAST(0.5 AS DOUBLE)
+         |       ELSE CAST(0.0 AS DOUBLE) END AS reward
+         |  FROM events),
+         |agg AS (SELECT context_hash, arm_id, sum(reward) AS r, count(*) AS n
+         |        FROM obs GROUP BY 1, 2),
+         |seeds(context_hash, arm_id) AS (VALUES
+         |  ('default', 'click'), ('default', 'signup'), ('default', 'dormant')),
+         |merged AS (
+         |  SELECT coalesce(a.context_hash, s.context_hash) AS context_hash,
+         |    coalesce(a.arm_id, s.arm_id) AS arm_id,
+         |    (CASE WHEN s.arm_id IS NOT NULL THEN CAST(2.0 AS DOUBLE)
+         |          ELSE CAST(1.0 AS DOUBLE) END) + coalesce(a.r, CAST(0.0 AS DOUBLE)) AS alpha,
+         |    CAST(1.0 AS DOUBLE) + coalesce(a.n, 0) - coalesce(a.r, CAST(0.0 AS DOUBLE)) AS beta,
+         |    CAST(coalesce(a.n, 0) AS BIGINT) AS pulls,
+         |    coalesce(a.r, CAST(0.0 AS DOUBLE)) AS total_reward
+         |  FROM agg a FULL OUTER JOIN seeds s
+         |    ON a.context_hash = s.context_hash AND a.arm_id = s.arm_id)
+         |SELECT context_hash, arm_id, alpha, beta, pulls, total_reward,
+         |  round(alpha / (alpha + beta), 6) AS posterior_mean
+         |FROM merged""".stripMargin,
     "q35_code_examples" ->
       s"""WITH b AS (
          |  SELECT url, generate_subscripts(code_blocks, 1) - 1 AS idx,
@@ -978,6 +1035,99 @@ object SparkEntry {
       .map(t => s"('${t.relationType}','${t.template.replace("'", "''")}'," +
         s"'${t.id}','${t.category}','${t.severity}')")
       .mkString(",")
+
+  /** q27's oracle: the full deterministic pruning pipeline (P0–P6,
+    * pruning.py:329-489 semantics plus this repo's P0 evidence collapse and
+    * sweep cap) re-implemented in DuckDB over the dumped pruning-INPUT
+    * fixture (resolved, unpruned edges). The order-dependent greedy P3/P4
+    * sweeps run as a recursive CTE that walks each (src,tgt) group in the
+    * operator's exact sort order (conf desc, text, relation), carrying the
+    * kept sets as lists of (rel, tokens) structs; Jaccard is list algebra.
+    * Constants (stopwords, thresholds, causal relation set) are injected
+    * from the SAME Scala objects the operator uses — no drift possible.
+    */
+  private def pruningOracleSql: String = {
+    val cfg = Pruning.Config()
+    val stopSql = graft.core.TextSpec.stopwords.toSeq.sorted
+      .map(w => s"'$w'").mkString("[", ",", "]")
+    val causalSql = graft.core.RelationTypes.causal.toSeq
+      .map(_.toLowerCase(java.util.Locale.ROOT)).sorted
+      .map(r => s"'$r'").mkString(", ")
+    // jaccard(k.toks, s.toks) as SQL list algebra (pruning.py:308-314)
+    def jac = """(CASE WHEN len(k.toks) = 0 OR len(s.toks) = 0 THEN 0.0
+                 |            ELSE len(list_intersect(k.toks, s.toks)) /
+                 |                 CAST(len(list_distinct(k.toks || s.toks)) AS DOUBLE) END)""".stripMargin
+    val drop3 = s"""len(list_filter(r.kept3, k -> k.rel = s.relation_type AND
+                   |      $jac > ${cfg.jaccardDuplicateThreshold})) > 0""".stripMargin
+    val drop4 = s"""len(list_filter(r.kept4, k -> k.rel <> s.relation_type AND
+                   |      $jac >= ${cfg.competingOverlapThreshold})) > 0""".stripMargin
+    s"""WITH RECURSIVE src AS (
+       |  SELECT source_id, target_id, relation_type, confidence, bidirectional,
+       |         source_text, source_location, extractor_version
+       |  FROM read_parquet('$FixturesDir/resolved_edges/*.parquet')),
+       |p0 AS (
+       |  SELECT * EXCLUDE (wrn) FROM (
+       |    SELECT *, row_number() OVER (
+       |      PARTITION BY source_id, target_id, relation_type, source_text
+       |      ORDER BY confidence DESC, source_location ASC) AS wrn
+       |    FROM src) WHERE wrn = 1),
+       |tok AS (
+       |  SELECT *, list_sort(list_distinct(list_filter(
+       |      regexp_extract_all(lower(source_text), '\\b[a-z]+\\b'),
+       |      t -> NOT list_contains($stopSql, t)))) AS toks
+       |  FROM p0),
+       |p12 AS (SELECT * FROM tok
+       |        WHERE len(toks) >= ${cfg.minEvidenceTokens}
+       |          AND confidence >= ${cfg.confidenceFloor}),
+       |capped AS (
+       |  SELECT * EXCLUDE (crn) FROM (
+       |    SELECT *, row_number() OVER (
+       |      PARTITION BY source_id, target_id, relation_type
+       |      ORDER BY confidence DESC, source_text ASC) AS crn
+       |    FROM p12) WHERE crn <= ${cfg.sweepCap}),
+       |swept AS (
+       |  SELECT *, row_number() OVER (
+       |    PARTITION BY source_id, target_id
+       |    ORDER BY confidence DESC, source_text ASC, relation_type ASC) AS pos
+       |  FROM capped),
+       |rec AS (
+       |  SELECT source_id, target_id, 0 AS pos, false AS d3, false AS d4,
+       |    CAST([] AS STRUCT(rel VARCHAR, toks VARCHAR[])[]) AS kept3,
+       |    CAST([] AS STRUCT(rel VARCHAR, toks VARCHAR[])[]) AS kept4
+       |  FROM (SELECT DISTINCT source_id, target_id FROM swept)
+       |  UNION ALL
+       |  SELECT s.source_id, s.target_id, s.pos,
+       |    $drop3 AS d3,
+       |    $drop4 AS d4,
+       |    CASE WHEN $drop3 THEN r.kept3
+       |      ELSE list_append(r.kept3, {'rel': s.relation_type, 'toks': s.toks}) END AS kept3,
+       |    CASE WHEN $drop3 OR $drop4 THEN r.kept4
+       |      ELSE list_append(r.kept4, {'rel': s.relation_type, 'toks': s.toks}) END AS kept4
+       |  FROM rec r JOIN swept s
+       |    ON s.source_id = r.source_id AND s.target_id = r.target_id
+       |   AND s.pos = r.pos + 1),
+       |s4 AS (
+       |  SELECT s.* FROM swept s
+       |  JOIN (SELECT source_id, target_id, pos, d3, d4 FROM rec WHERE pos > 0) d
+       |    ON s.source_id = d.source_id AND s.target_id = d.target_id AND s.pos = d.pos
+       |  WHERE NOT d.d3 AND NOT d.d4),
+       |deg AS (
+       |  SELECT node, count(*) AS c FROM (
+       |    SELECT source_id AS node FROM s4 UNION ALL SELECT target_id FROM s4)
+       |  GROUP BY node),
+       |final AS (
+       |  SELECT s4.* FROM s4
+       |  JOIN deg ds ON s4.source_id = ds.node
+       |  JOIN deg dt ON s4.target_id = dt.node
+       |  WHERE NOT ((ds.c = 1 OR dt.c = 1)
+       |             AND s4.confidence < ${cfg.isolatedWeakConfidence}))
+       |SELECT source_id, target_id, relation_type, confidence, bidirectional,
+       |  source_text, source_location, extractor_version,
+       |  CASE WHEN confidence >= ${cfg.confidenceWeak} THEN 'strong' ELSE 'weak' END AS strength,
+       |  CASE WHEN lower(relation_type) IN ($causalSql)
+       |       THEN 'causal' ELSE 'structural' END AS layer
+       |FROM final""".stripMargin
+  }
 
   /** q28's oracle: min-label connected components over the dumped synonym
     * pair fixture as `Canon.OracleRoundBudget` generated MATERIALIZED
