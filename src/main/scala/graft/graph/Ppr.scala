@@ -26,6 +26,29 @@ import org.apache.spark.storage.StorageLevel
   */
 object Ppr {
 
+  /** A query-reusable normalized graph: the undirected weighted edge list
+    * and per-source out-weight sums, both checkpointed. A query SERVICE
+    * over a committed snapshot prepares this ONCE and serves every query
+    * from it — the per-query work drops to merging that query's ephemeral
+    * online edges (tiny) and the loop itself, instead of rebuilding
+    * und/outW from the full edge table per call.
+    */
+  final case class PreparedGraph(und: DataFrame, outW: DataFrame)
+
+  /** Build the reusable normalized adjacency inputs from a committed edge
+    * table (one scan + one aggregation, checkpointed).
+    */
+  def prepare(edges: DataFrame)(implicit spark: SparkSession): PreparedGraph = {
+    val und = edges
+      .select(col("source_id").as("src"), col("target_id").as("dst"),
+        col("confidence").cast("double").as("w"))
+      .union(edges.select(col("target_id").as("src"), col("source_id").as("dst"),
+        col("confidence").cast("double").as("w")))
+      .localCheckpoint()
+    val outW = und.groupBy("src").agg(sum("w").as("wout")).localCheckpoint()
+    PreparedGraph(und, outW)
+  }
+
   /** @param edges  (source_id, target_id, confidence)
     * @param seeds  (id, weight) — personalization vector (need not sum to 1)
     */
@@ -52,6 +75,54 @@ object Ppr {
     val adj0 = und.join(outW, Seq("src"))
       .select(col("src"), col("dst"), (col("w") / col("wout")).as("p"))
       .localCheckpoint()
+    runAdj(adj0, seeds, damping, tol, maxIter, minScore)
+  }
+
+  /** Run from a prepared graph plus per-query extra edges (the online
+    * similarity edges of one retrieval, adapter.py:532). Only the extras
+    * pay new aggregation work: their out-weight delta folds into the
+    * cached sums with a broadcast-sized join, and sources untouched by
+    * extras keep their cached normalization.
+    */
+  def runPrepared(
+      graph: PreparedGraph,
+      extraEdges: DataFrame, // (source_id, target_id, confidence)
+      seeds: DataFrame,
+      damping: Double = 0.85,
+      tol: Double = 1e-6,
+      maxIter: Int = 100,
+      minScore: Double = 1e-8
+  )(implicit spark: SparkSession): DataFrame = {
+    val extraUnd = extraEdges
+      .select(col("source_id").as("src"), col("target_id").as("dst"),
+        col("confidence").cast("double").as("w"))
+      .union(extraEdges.select(col("target_id").as("src"), col("source_id").as("dst"),
+        col("confidence").cast("double").as("w")))
+      .localCheckpoint()
+    val nExtra = extraUnd.count()
+    val (und, outW) =
+      if (nExtra == 0L) (graph.und, graph.outW)
+      else {
+        val delta = extraUnd.groupBy("src").agg(sum("w").as("__dw"))
+        val merged = graph.outW.join(delta, Seq("src"), "full_outer")
+          .select(col("src"),
+            (coalesce(col("wout"), lit(0.0)) + coalesce(col("__dw"), lit(0.0))).as("wout"))
+        (graph.und.unionByName(extraUnd), merged)
+      }
+    val adj0 = und.join(outW, Seq("src"))
+      .select(col("src"), col("dst"), (col("w") / col("wout")).as("p"))
+      .localCheckpoint()
+    runAdj(adj0, seeds, damping, tol, maxIter, minScore)
+  }
+
+  private def runAdj(
+      adj0: DataFrame,
+      seeds: DataFrame,
+      damping: Double,
+      tol: Double,
+      maxIter: Int,
+      minScore: Double
+  )(implicit spark: SparkSession): DataFrame = {
     // right-size the loop's partitioning from the MEASURED adjacency: the
     // session's spark.sql.shuffle.partitions (sized for corpus-scale
     // stages) makes every one of the 25+ iterations pay mostly-empty

@@ -302,6 +302,190 @@ object Projectors {
     (s"$skillName/SKILL.md", content)
   }
 
+  // ---- multi-file skill targets (claude_code_skill.py / openclaw_skill.py
+  // / skillipedia.py) — each emits (path, content) rows, computed
+  // DISTRIBUTED (mapGroups per domain / map per rule) so a million-domain
+  // projection never assembles on the driver; callers either collect the
+  // bounded artifact set or write the frame directly.
+
+  /** Skill flavor: Claude-Code Agent-Skills frontmatter (name +
+    * description [+ license]) vs OpenClaw (adds homepage/license and the
+    * single-line-JSON `metadata:` line, skillmd.py:262-300).
+    */
+  sealed trait SkillFlavor
+  case object ClaudeSkill extends SkillFlavor
+  case object OpenClawSkill extends SkillFlavor
+
+  /** _yaml_quote (skillmd.py:303-329): double-quote when the value would
+    * be misread as YAML structure; unquoted otherwise.
+    */
+  private[graft] def yamlQuote(v: String): String = {
+    val indicators = "{}[]\"'#&*!|>%@`"
+    def quoted = "\"" + v.replace("\"", "\\\"").replace("\n", "\\n") + "\""
+    if (v.contains("\n")) quoted
+    else if (v.nonEmpty && indicators.contains(v.head)) quoted
+    else if (v.contains(": ")) quoted
+    else v
+  }
+
+  /** `## {id}\n\n{text}` + optional enrichment lines — the shared
+    * _rules_to_body shape (claude_code_skill.py:76-93).
+    */
+  private def ruleBodyPart(
+      id: String, text: String,
+      context: String, antipattern: String, rationale: String,
+      includeEnrichment: Boolean): String = {
+    val parts = Seq(s"## $id\n\n$text") ++
+      (if (includeEnrichment) Seq(
+        Option(context).map(c => s"\n**Context:** $c"),
+        Option(antipattern).map(a => s"\n**Antipattern:** $a"),
+        Option(rationale).map(r => s"\n**Rationale:** $r")).flatten
+      else Seq.empty)
+    parts.mkString("\n\n")
+  }
+
+  /** Strip the `skill:` domain prefix (claude_code_skill.py:115-122). */
+  private def domainToName(domain: String): String =
+    if (domain.startsWith("skill:")) domain.substring(6) else domain
+
+  /** Multi-file SKILL.md projection (claude_code_skill.py:56-75 /
+    * openclaw_skill.py:47-60): one file per domain — or one file for all
+    * rules when `skillName` is given. Returns (path, content) rows;
+    * per-domain assembly runs distributed (mapGroups). Rule order within
+    * a file is the deterministic (derivation, id) artifact order.
+    */
+  def skillFiles(
+      rules: DataFrame,
+      flavor: SkillFlavor = ClaudeSkill,
+      skillName: Option[String] = None,
+      includeEnrichment: Boolean = true,
+      defaultEmoji: String = "🧠", // openclaw_skill.py:34
+      defaultLicense: String = "MIT"
+  ): DataFrame = {
+    val spark = rules.sparkSession
+    import spark.implicits._
+    val enriched = hasEnrichment(rules)
+    val inc = includeEnrichment && enriched
+    val nullS = lit(null).cast("string")
+    val rows = rules.select(
+      skillName.map(n => lit(n)).getOrElse(col("domain")).as("__group"),
+      col("derivation"), col("id"), col("text"),
+      (if (enriched) col("context") else nullS).as("context"),
+      (if (enriched) col("antipattern") else nullS).as("antipattern"),
+      (if (enriched) col("rationale") else nullS).as("rationale"))
+      .as[(String, String, String, String, String, String, String)]
+    val isOpenClaw = flavor == OpenClawSkill
+    val single = skillName.isDefined
+    rows.groupByKey(_._1).mapGroups { (group, it) =>
+      val sorted = it.toSeq.sortBy(r => (r._2, r._3))
+      val name = if (single) group else domainToName(group)
+      val body = sorted
+        .map(r => ruleBodyPart(r._3, r._4, r._5, r._6, r._7, inc))
+        .mkString("\n\n")
+      val desc = sorted.headOption.map(_._4.take(200)).getOrElse("")
+      val fm = Seq.newBuilder[String]
+      fm += "---"
+      fm += s"name: $name"
+      fm += s"description: ${yamlQuote(desc)}"
+      if (isOpenClaw) {
+        fm += s"license: $defaultLicense"
+        // metadata as single-line JSON, the OpenClaw parser constraint
+        fm += s"""metadata: {"openclaw":{"emoji":"$defaultEmoji"}}"""
+      }
+      fm += "---"
+      (s"$name/SKILL.md", fm.result().mkString("\n") + "\n\n" + body + "\n")
+    }.toDF("path", "content")
+  }
+
+  /** slugify (skillipedia.py:186-196): lowercase, non-alphanumeric runs →
+    * '-', trimmed, max 80.
+    */
+  private[graft] def slugify(text: String): String =
+    text.toLowerCase(java.util.Locale.ROOT)
+      .replaceAll("[^a-z0-9]+", "-")
+      .replaceAll("^-+|-+$", "")
+      .take(80)
+
+  /** SkillipediaTarget per-rule MDX (skillipedia.py:55-69): one
+    * `entries/slug.mdx` per rule with YAML frontmatter (id, inferred
+    * type, claim, confidence, domain, derivation, tags, category,
+    * source_concepts, provenance) and the markdown body. `generatedAt` is
+    * caller-supplied (commit-time UTC, F9) so projection stays pure.
+    * Fully distributed — one row in, one (path, content) row out.
+    */
+  def skillipediaEntries(
+      rules: DataFrame,
+      generatedAt: String,
+      baseDir: String = "entries",
+      includeEnrichment: Boolean = true
+  ): DataFrame = {
+    val spark = rules.sparkSession
+    import spark.implicits._
+    val enriched = hasEnrichment(rules)
+    val inc = includeEnrichment && enriched
+    val nullS = lit(null).cast("string")
+    val nullA = lit(null).cast("array<string>")
+    val rows = rules.select(
+      col("id"), col("text"), col("confidence").cast("double"), col("domain"),
+      col("derivation"), coalesce(col("category"), col("domain")).as("category"),
+      col("source_concepts"),
+      (if (enriched) col("context") else nullS).as("context"),
+      (if (enriched) col("antipattern") else nullS).as("antipattern"),
+      (if (enriched) col("rationale") else nullS).as("rationale"),
+      (if (enriched) col("tags") else nullA).as("tags"),
+      coalesce(col("relation_type"), lit("")).as("relation_type"),
+      coalesce(col("template_id"), lit("")).as("template_id"))
+      .as[(String, String, Double, String, String, String, Seq[String],
+        String, String, String, Seq[String], String, String)]
+    rows.map { case (id, text, conf, domain, derivation, category, srcConcepts,
+        context, antipattern, rationale, tags, relType, templateId) =>
+      val claim = text.take(200)
+      // "pattern" for derived, "learning" otherwise (skillipedia.py:170-184;
+      // the skill_format metadata branch has no analog here)
+      val entryType = if (derivation == "derived") "pattern" else "learning"
+      def yList(xs: Seq[String]) =
+        if (xs == null || xs.isEmpty) "[]"
+        else xs.map(x => s"\n- ${yamlQuote(x)}").mkString
+      val fm = Seq.newBuilder[String]
+      fm += s"id: ${yamlQuote(id)}"
+      fm += s"type: $entryType"
+      fm += s"claim: ${yamlQuote(claim)}"
+      fm += s"confidence: $conf"
+      fm += s"domain: ${yamlQuote(domain)}"
+      fm += s"derivation: $derivation"
+      if (tags != null && tags.nonEmpty) fm += s"tags: ${yList(tags)}"
+      fm += s"category: ${yamlQuote(category)}"
+      fm += s"source_concepts: ${yList(srcConcepts)}"
+      fm += "provenance:"
+      fm += s"  id: ${yamlQuote(id)}"
+      fm += s"  domain: ${yamlQuote(domain)}"
+      fm += s"  derivation: $derivation"
+      fm += s"  confidence: $conf"
+      if (relType.nonEmpty) fm += s"  relation_type: ${yamlQuote(relType)}"
+      if (templateId.nonEmpty) fm += s"  template_id: ${yamlQuote(templateId)}"
+      fm += s"generated_at: ${yamlQuote(generatedAt)}"
+      val bodyParts = Seq(s"## $id\n\n$text") ++
+        (if (inc) Seq(
+          Option(context).map(c => s"### Context\n\n$c"),
+          Option(antipattern).map(a => s"### Antipattern\n\n$a"),
+          Option(rationale).map(r => s"### Rationale\n\n$r")).flatten
+        else Seq.empty)
+      val content =
+        s"---\n${fm.result().mkString("\n")}\n---\n\n${bodyParts.mkString("\n\n")}\n"
+      (s"$baseDir/${slugify(id)}.mdx", content)
+    }.toDF("path", "content")
+  }
+
+  /** Write a (path, content) artifact frame under `dir`, each file
+    * atomically. Driver-iterated over the bounded artifact list — the
+    * unbounded path is writing the frame itself as parquet/JSONL.
+    */
+  def writeFiles(dir: String, files: DataFrame)(
+      implicit spark: org.apache.spark.sql.SparkSession): Unit =
+    files.select(col("path"), col("content")).collect().foreach { r =>
+      writeArtifact(s"$dir/${r.getString(0)}", r.getString(1))
+    }
+
   /** Atomic single-file artifact write (temp + rename, same protocol as
     * SnapshotStore manifests) so a reader never sees a half-written export.
     */

@@ -24,6 +24,15 @@ final class GraftService(store: SnapshotStore)(implicit spark: SparkSession) {
   private lazy val edges: DataFrame = store.read("edges").localCheckpoint()
   private lazy val rules: DataFrame = store.read("rules").localCheckpoint()
 
+  /** The normalized PPR adjacency, prepared ONCE per service instance
+    * (= per committed snapshot — the tables above are snapshot-pinned the
+    * same way). Every query's retrieval reuses it; only that query's
+    * ephemeral online edges pay new normalization work. Feedback updates
+    * factors, never edges, so no invalidation is needed mid-instance.
+    */
+  private[query] lazy val pprGraph: graft.graph.Ppr.PreparedGraph =
+    graft.graph.Ppr.prepare(edges)
+
   private def factors: DataFrame =
     if (store.exists("factors")) store.read("factors")
     else Seq.empty[(String, Double)].toDF("node_id", "factor")
@@ -59,7 +68,8 @@ final class GraftService(store: SnapshotStore)(implicit spark: SparkSession) {
       if (domains.isEmpty) concepts
       else concepts.filter(substring_index(col("id"), ":", 1).isin(domains: _*))
     val cs = if (minConf > 0.0) cs0.filter(col("confidence") >= minConf) else cs0
-    val out = Retrieval.retrieveFull(cs, edges, factors, context, k, rules = Some(rules))
+    val out = Retrieval.retrieveFull(cs, edges, factors, context, k,
+      rules = Some(rules), prepared = Some(pprGraph))
     // the PPR graph spans all domains (cross-domain activation is the
     // HippoRAG point), so a domain restriction must ALSO filter the scored
     // items — hippocampus/retrieval.py:137-141 filters scores the same way

@@ -88,7 +88,13 @@ object Retrieval {
         * the `rules` half of the reference's query contract.
         */
       rules: Option[DataFrame] = None,
-      strategy: CompletionStrategy = PprCompletion
+      strategy: CompletionStrategy = PprCompletion,
+      /** A snapshot-scoped normalized adjacency (Ppr.prepare(edges)) — a
+        * query service passes this so every query reuses the cached
+        * und/outW instead of rebuilding them from the edge table
+        * (GraftService prepares once per committed snapshot).
+        */
+      prepared: Option[Ppr.PreparedGraph] = None
   )(implicit spark: SparkSession): RetrievalOutput = {
     val k = math.max(1, math.min(topK, 1000)) // top_k clamp (service.py:421-422)
     val fetchK = math.max(3 * k, 30) // adapter.py:485
@@ -123,14 +129,18 @@ object Retrieval {
     // step 5: pattern completion over the merged graph (persistent +
     // online extras). PPR is the HippoRAG path; BFS is the reference's
     // documented fallback (retrieval.py:145-183) — same blend downstream.
-    val pprEdges = edges.select(col("source_id"), col("target_id"), col("confidence"))
-      .unionByName(online.select(col("id_a").as("source_id"), col("id_b").as("target_id"),
-        col("cosine").as("confidence")))
-    val ppr = strategy match {
-      case PprCompletion =>
+    val onlineAsEdges = online.select(col("id_a").as("source_id"),
+      col("id_b").as("target_id"), col("cosine").as("confidence"))
+    lazy val pprEdges = edges.select(col("source_id"), col("target_id"), col("confidence"))
+      .unionByName(onlineAsEdges)
+    val ppr = (strategy, prepared) match {
+      case (PprCompletion, Some(g)) =>
+        Ppr.runPrepared(g, onlineAsEdges, weighted.select(col("id"), col("weight")),
+          damping = 0.85, tol = 1e-4, maxIter = 30)
+      case (PprCompletion, None) =>
         Ppr.run(pprEdges, weighted.select(col("id"), col("weight")),
           damping = 0.85, tol = 1e-4, maxIter = 30)
-      case BfsCompletion =>
+      case (BfsCompletion, _) =>
         graft.graph.Bfs.patternCompletion(pprEdges, weighted.select(col("id")), maxDepth = 2)
           .select(col("id"), col("score").as("rank"))
     }

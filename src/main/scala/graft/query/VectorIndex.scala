@@ -30,9 +30,20 @@ import org.apache.spark.sql.functions._
   * the same latest-wins rule.
   *
   * Rows: (id STRING, embedding ARRAY<FLOAT>).
+  *
+  * WRITE CONCURRENCY: mutations are read-then-commit on `__seq` (latest
+  * snapshot + 1), so the index is SINGLE-WRITER — the same contract the
+  * snapshot store documents for `expire`. Within one JVM this class
+  * serializes its own mutations (all writes hold `writeLock`, so two
+  * threads sharing an instance cannot mint the same `__seq`); across
+  * processes the caller must provide the single-writer discipline, as
+  * with any optimistic table format without a catalog lock (real Iceberg
+  * would reject the second commit on a seq conflict).
   */
 final class VectorIndex(store: SnapshotStore, table: String = "vector_index")(
     implicit spark: SparkSession) {
+
+  private val writeLock = new Object
 
   private def nextSeq(): Long =
     store.latest(table).map(_.id + 1).getOrElse(0L)
@@ -59,7 +70,7 @@ final class VectorIndex(store: SnapshotStore, table: String = "vector_index")(
   /** Add vectors; ids already present are overwritten (upsert). Writes ONLY
     * the incoming delta.
     */
-  def upsert(rows: DataFrame): Unit = {
+  def upsert(rows: DataFrame): Unit = writeLock.synchronized {
     val delta = rows.select(col("id").cast("string").as("id"), col("embedding"))
       .dropDuplicates("id")
       .withColumn("__seq", lit(nextSeq()))
@@ -68,7 +79,7 @@ final class VectorIndex(store: SnapshotStore, table: String = "vector_index")(
   }
 
   /** Remove ids via tombstone rows — delta-only, resolved at read. */
-  def remove(ids: DataFrame): Unit = {
+  def remove(ids: DataFrame): Unit = writeLock.synchronized {
     if (!store.exists(table)) return
     val tombstones = ids.select(col("id").cast("string").as("id"))
       .dropDuplicates("id")
@@ -82,7 +93,7 @@ final class VectorIndex(store: SnapshotStore, table: String = "vector_index")(
     * History stays retained — older snapshots still time-travel — until
     * `store.expire` reclaims them.
     */
-  def compact(): Unit = {
+  def compact(): Unit = writeLock.synchronized {
     if (!store.exists(table)) return
     val resolved = read()
       .withColumn("__seq", lit(nextSeq()))

@@ -150,6 +150,82 @@ class ProjectorsSuite extends SparkFunSuite {
       java.nio.file.Paths.get(p))) == "{\"v\":2}")
   }
 
+  test("skillFiles: one SKILL.md per domain; single-file mode; openclaw frontmatter") {
+    val (ex, dv) = fixtures()
+    val rules = Projectors.enrichTemplate(Projectors.ruleSource(ex, dv))
+
+    // per-domain (one 'web' domain here)
+    val perDomain = Projectors.skillFiles(rules)
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(perDomain.keySet == Set("web/SKILL.md"))
+    val content = perDomain("web/SKILL.md")
+    assert(content.startsWith("---\nname: web\ndescription: "))
+    assert(!content.contains("metadata:")) // claude flavor has no metadata line
+    // one "## {id}" section per rule + enrichment lines
+    assert(content.linesIterator.count(_.startsWith("## ")) == rules.count())
+    assert(content.contains("**Context:** When working in the web domain"))
+    assert(content.contains("**Antipattern:** Violating this rule"))
+
+    // single-file mode folds every domain into the named skill
+    val single = Projectors.skillFiles(rules, skillName = Some("all-rules"))
+      .collect().map(_.getString(0))
+    assert(single.toSeq == Seq("all-rules/SKILL.md"))
+
+    // openclaw flavor adds license + single-line-JSON metadata
+    val oc = Projectors.skillFiles(rules, flavor = Projectors.OpenClawSkill)
+      .collect().map(r => r.getString(1)).head
+    assert(oc.contains("\nlicense: MIT\n"))
+    assert(oc.contains("""metadata: {"openclaw":{"emoji":"🧠"}}"""))
+  }
+
+  test("skillFiles: skill: domain prefix stripped; yamlQuote normalization") {
+    assert(Projectors.yamlQuote("plain text") == "plain text")
+    assert(Projectors.yamlQuote("has: colon") == "\"has: colon\"")
+    assert(Projectors.yamlQuote("{starts with brace") == "\"{starts with brace\"")
+    assert(Projectors.yamlQuote("line\nbreak") == "\"line\\nbreak\"")
+
+    val rules = Seq(
+      ("r1", "Do the thing.", "skill:deploy", "explicit", 0.8, "general", Seq("web:Cache"), 0.0))
+      .toDF("id", "text", "domain", "derivation", "confidence", "category",
+        "source_concepts", "relevance")
+    val files = Projectors.skillFiles(rules).collect()
+    assert(files.head.getString(0) == "deploy/SKILL.md")
+  }
+
+  test("skillipediaEntries: per-rule MDX with frontmatter, type inference, slugs") {
+    val (ex, dv) = fixtures()
+    val rules = Projectors.enrichTemplate(Projectors.ruleSource(ex, dv))
+    val files = Projectors.skillipediaEntries(rules, "2026-01-01T00:00:00Z")
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(files.size == rules.count())
+    assert(files.keys.forall(p => p.startsWith("entries/") && p.endsWith(".mdx")))
+    // slug shape: lowercase alnum + hyphens only
+    assert(files.keys.forall(_.matches("entries/[a-z0-9-]{1,80}\\.mdx")))
+    val derived = files.collect { case (p, c) if p.startsWith("entries/drule-") => c }
+    assert(derived.nonEmpty && derived.forall(_.contains("\ntype: pattern\n")))
+    val explicitOnes = files.collect { case (p, c) if p.startsWith("entries/rule-") => c }
+    assert(explicitOnes.nonEmpty && explicitOnes.forall(_.contains("\ntype: learning\n")))
+    files.values.foreach { c =>
+      assert(c.startsWith("---\nid: "))
+      assert(c.contains("\nprovenance:\n"))
+      assert(c.contains("generated_at: 2026-01-01T00:00:00Z"))
+      assert(c.contains("### Context\n"))
+    }
+    assert(Projectors.slugify("Hello, World! 42") == "hello-world-42")
+    assert(Projectors.slugify("--x--") == "x")
+  }
+
+  test("writeFiles: multi-file artifact tree written atomically") {
+    val (ex, dv) = fixtures()
+    val rules = Projectors.ruleSource(ex, dv)
+    val dir = java.nio.file.Files.createTempDirectory("graft-skillfiles").toString
+    Projectors.writeFiles(dir, Projectors.skillFiles(rules))(spark)
+    val p = java.nio.file.Paths.get(s"$dir/web/SKILL.md")
+    assert(java.nio.file.Files.exists(p))
+    assert(new String(java.nio.file.Files.readAllBytes(p), "UTF-8")
+      .startsWith("---\nname: web\n"))
+  }
+
   test("writeJsonl: distributed entry export, one JSON object per line") {
     val (ex, dv) = fixtures()
     val rules = Projectors.enrichTemplate(Projectors.ruleSource(ex, dv))

@@ -124,6 +124,49 @@ class Round4Suite extends SparkFunSuite {
     assert(t.scores.keySet == arms.map(_.id).toSet)
   }
 
+  // ---- prepared-adjacency PPR (query-service amortization) ---------------
+
+  test("Ppr.runPrepared over a prepared graph matches Ppr.run on the merged edges") {
+    val edges = (0 until 30).map(i => (s"n$i", s"n${(i * 7 + 1) % 30}", 0.8))
+      .toDF("source_id", "target_id", "confidence").localCheckpoint()
+    val extras = Seq(("n1", "n20", 0.95), ("n3", "n27", 0.9))
+      .toDF("source_id", "target_id", "confidence").localCheckpoint()
+    val seeds = Seq(("n0", 1.0)).toDF("id", "weight")
+
+    def collectRanks(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getString(0), math.round(r.getDouble(1) * 1e9))).toMap
+
+    val g = Ppr.prepare(edges)
+    // with extras: identical to one-shot run over the union
+    val prepared = collectRanks(Ppr.runPrepared(g, extras, seeds, tol = 0.0, maxIter = 12))
+    val oneShot = collectRanks(Ppr.run(edges.unionByName(extras), seeds, tol = 0.0, maxIter = 12))
+    assert(prepared == oneShot)
+    // without extras: the cached normalization is used as-is
+    val noExtras = collectRanks(Ppr.runPrepared(g,
+      Seq.empty[(String, String, Double)].toDF("source_id", "target_id", "confidence"),
+      seeds, tol = 0.0, maxIter = 12))
+    assert(noExtras == collectRanks(Ppr.run(edges, seeds, tol = 0.0, maxIter = 12)))
+  }
+
+  // ---- VectorIndex intra-JVM write serialization -------------------------
+
+  test("VectorIndex: concurrent upserts mint distinct __seq batches") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-vi-conc").toString
+    val store = new graft.store.SnapshotStore(dir)
+    val vi = new graft.query.VectorIndex(store, "vecs")
+    vi.upsert(Seq(("base", Seq(1.0f, 0.0f))).toDF("id", "embedding"))
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val fs = (0 until 4).map { i =>
+      Future(vi.upsert(Seq((s"v$i", Seq(i.toFloat, 1.0f))).toDF("id", "embedding")))
+    }
+    fs.foreach(Await.result(_, 60.seconds))
+    // every batch got its own seq → latest snapshot id == 4 appends + base
+    assert(store.latest("vecs").map(_.id).contains(4L))
+    assert(vi.count() == 5L)
+  }
+
   // ---- canonicalMap through star CC --------------------------------------
 
   test("canonicalMap labels are component minima through the star-CC path") {
