@@ -128,6 +128,18 @@ object SparkEntry {
     // join downstream is what the oracle re-implements in SQL)
     w(shared.retrieval.results.select(col("id"), col("combined").as("score")),
       "retrieval_items")
+    // q33's embedding-derived stage inputs, recomputed on the same code
+    // path + inputs the shared retrieval used: the vec-search seeds and
+    // the online cosine edges. The q33 oracle re-derives everything
+    // DOWNSTREAM of the embedding (factor weighting, blocked PPR with the
+    // convergence stop, max-normalization, blend, top-k) in independent
+    // SQL over these.
+    val qvec = graft.core.Embeddings.embed("platform access control tokens")
+    val seeds = graft.query.Retrieval.vectorSearch(shared.concepts, qvec, 30)
+    w(seeds.select(col("id"), col("vec_score")), "retrieval_seeds")
+    val seedEmb = seeds.select(col("id"))
+      .join(shared.concepts.select(col("id"), col("embedding")), Seq("id"))
+    w(graft.query.Retrieval.onlineEdges(seedEmb, 0.7), "retrieval_online")
   }
 
   private val kgCache =
@@ -744,6 +756,7 @@ object SparkEntry {
          |  '${graft.core.TextSpec.version}', '', 'illustrative', coalesce(illustrates, '')
          |FROM orph WHERE rn = 1""".stripMargin,
     "q27_kg_edges_pruned" -> pruningOracleSql,
+    "q33_retrieval_hybrid" -> hybridRetrievalOracleSql,
     "q28_kg_canon_map" -> ccOracleSql,
     "q29_ppr" -> pprOracleSql,
     "q31_rules_explicit" -> explicitRulesOracleSql,
@@ -1127,6 +1140,79 @@ object SparkEntry {
        |  CASE WHEN lower(relation_type) IN ($causalSql)
        |       THEN 'causal' ELSE 'structural' END AS layer
        |FROM final""".stripMargin
+  }
+
+  /** q33's oracle: the hybrid-retrieval graph half re-derived in SQL —
+    * factor weighting (empty factors → weight = vec_score), the BLOCKED
+    * convergence-stopped PPR of Retrieval.retrieveFull (blocks of 5
+    * iterations, stop when a block's Σ|Δ| ≤ 1e-4, ≤ 30 iterations, scores
+    * ≤ 1e-8 dropped), max-normalization, the 0.5/0.5 blend over
+    * seeds ∪ activated, and the deterministic top-10 — over the dumped
+    * pruning output plus the two embedding-derived stage inputs
+    * (retrieval_seeds, retrieval_online; the embedding itself is
+    * suite-pinned, not SQL-expressible). The convergence RULE is encoded,
+    * not a pinned iteration count: the oracle computes all six block
+    * outputs and their deltas and selects the block the operator's
+    * stopping rule would have published.
+    */
+  private def hybridRetrievalOracleSql: String = {
+    val iters = (1 to 30).map { i =>
+      val prev = s"r${i - 1}"
+      s"""r$i AS MATERIALIZED (
+         |  SELECT p.id, 0.85 * coalesce(c.inflow, 0.0) + 0.15 * p.pers AS rank
+         |  FROM pers p LEFT JOIN (
+         |    SELECT a.dst AS id, SUM(r.rank * a.p) AS inflow
+         |    FROM adj a JOIN $prev r ON r.id = a.src GROUP BY a.dst) c USING (id))""".stripMargin
+    }.mkString(",\n")
+    val deltas = (1 to 6).map { b =>
+      s"""(SELECT sum(abs(a.rank - b.rank))
+         |   FROM r${5 * b} a JOIN r${5 * (b - 1)} b USING (id)) AS d$b""".stripMargin
+    }.mkString(", ")
+    val pick = "CASE " +
+      (1 to 6).map(b => s"WHEN d$b <= 1e-4 THEN $b").mkString(" ") + " ELSE 6 END"
+    val unionRanks = (1 to 6)
+      .map(b => s"SELECT $b AS blk, id, rank FROM r${5 * b}")
+      .mkString("\nUNION ALL\n")
+    s"""WITH seeds AS (SELECT id, vec_score
+       |               FROM read_parquet('$FixturesDir/retrieval_seeds/*.parquet')),
+       |online AS (SELECT id_a, id_b, cosine
+       |           FROM read_parquet('$FixturesDir/retrieval_online/*.parquet')),
+       |e AS (SELECT source_id, target_id, CAST(confidence AS DOUBLE) AS w
+       |      FROM read_parquet('$FixturesDir/pruned_edges/*.parquet')
+       |      UNION ALL
+       |      SELECT id_a, id_b, cosine FROM online),
+       |und AS (SELECT source_id AS src, target_id AS dst, w FROM e
+       |        UNION ALL SELECT target_id, source_id, w FROM e),
+       |outw AS (SELECT src, SUM(w) AS wout FROM und GROUP BY src),
+       |adj AS MATERIALIZED (SELECT und.src, und.dst, und.w / outw.wout AS p
+       |                     FROM und JOIN outw USING (src)),
+       |nodes AS (SELECT DISTINCT src AS id FROM adj UNION SELECT id FROM seeds),
+       |wsum AS (SELECT sum(vec_score) AS t FROM seeds),
+       |pers AS MATERIALIZED (
+       |  SELECT n.id, coalesce(s.vec_score, 0.0) / w.t AS pers
+       |  FROM nodes n LEFT JOIN seeds s USING (id) CROSS JOIN wsum w),
+       |r0 AS MATERIALIZED (SELECT id, pers AS rank FROM pers),
+       |$iters,
+       |dl AS (SELECT $deltas),
+       |pick AS (SELECT $pick AS k FROM dl),
+       |allr AS ($unionRanks),
+       |ranks AS (SELECT id, rank FROM allr JOIN pick ON blk = k WHERE rank > 1e-8),
+       |mx AS (SELECT CASE WHEN max(rank) > 0 THEN max(rank) ELSE 1.0 END AS m
+       |       FROM ranks),
+       |blend AS (
+       |  SELECT coalesce(s.id, r.id) AS id,
+       |    coalesce(s.vec_score, 0.0) AS vec_score,
+       |    coalesce(r.rank, 0.0) AS ppr
+       |  FROM seeds s FULL OUTER JOIN ranks r ON s.id = r.id),
+       |scored AS (
+       |  SELECT id, vec_score, 0.5 * vec_score + 0.5 * (ppr / mx.m) AS combined
+       |  FROM blend CROSS JOIN mx),
+       |topk AS (SELECT * FROM scored ORDER BY combined DESC, id ASC LIMIT 10)
+       |SELECT t.id, n.name, round(t.vec_score, 4) AS vec_score,
+       |  round(t.combined, 4) AS combined
+       |FROM topk t
+       |LEFT JOIN read_parquet('$FixturesDir/concepts_lite/*.parquet') n
+       |  ON t.id = n.id""".stripMargin
   }
 
   /** q28's oracle: min-label connected components over the dumped synonym

@@ -116,10 +116,19 @@ final class Learner private (
       context: Map[String, String] = Map.empty,
       k: Int = 1,
       seed: Long = 0L,
-      tokenBudget: Long = 0L): SelectionResult =
-    Thompson.select(candidates, statesFor(candidates, context), k, seed,
+      tokenBudget: Long = 0L): SelectionResult = {
+    val result = Thompson.select(candidates, statesFor(candidates, context), k, seed,
       minPulls = config.minPulls, baselineRate = config.baselineRate,
       tokenBudget = tokenBudget)
+    graft.observe.Observe.emit("learning.selection_made",
+      "learner" -> config.name,
+      "selected_count" -> result.selected.size,
+      "excluded_count" -> result.excluded.size,
+      "is_baseline" -> result.isBaseline,
+      "token_budget" -> result.tokenBudget,
+      "used_tokens" -> result.usedTokens)
+    result
+  }
 
   /** learner.py:129-176 — record one observation. Returns the arm's new
     * state. Outcome strings map through the reward model when the raw
@@ -136,7 +145,16 @@ final class Learner private (
     val obs = Seq((contextHash(ctx), outcome.armId, reward))
       .toDF("context_hash", "arm_id", "reward")
     replace(mergeObservations(stateDf, obs))
-    statesFor(Seq(Arm(outcome.armId)), ctx).getOrElse(outcome.armId, ArmState())
+    val state = statesFor(Seq(Arm(outcome.armId)), ctx).getOrElse(outcome.armId, ArmState())
+    graft.observe.Observe.emit("learning.observation_recorded",
+      "learner" -> config.name, "arm_id" -> outcome.armId,
+      "reward" -> reward, "outcome" -> outcome.outcome,
+      "context_hash" -> contextHash(ctx))
+    graft.observe.Observe.emit("learning.posterior_updated",
+      "learner" -> config.name, "arm_id" -> outcome.armId,
+      "alpha" -> state.alpha, "beta" -> state.beta,
+      "pulls" -> state.pulls, "mean" -> state.mean)
+    state
   }
 
   /** The distributed observation path: a whole (context_hash, arm_id,
@@ -173,6 +191,16 @@ final class Learner private (
         (coalesce(col("total_reward"), lit(0.0)) +
           coalesce(col("alpha_delta"), lit(0.0))).as("total_reward"))
     replace(next)
+    // per-arm posterior events, like learner.py:178-216 (deltas are
+    // per-query-bounded, so this stays control-plane volume)
+    if (graft.observe.Observe.isConfigured) {
+      val updated = statesFor(deltas.keys.toSeq.sorted.map(Arm(_)), context)
+      for ((armId, s) <- updated.toSeq.sortBy(_._1))
+        graft.observe.Observe.emit("learning.posterior_updated",
+          "learner" -> config.name, "arm_id" -> armId,
+          "alpha" -> s.alpha, "beta" -> s.beta,
+          "pulls" -> s.pulls, "mean" -> s.mean)
+    }
   }
 
   /** learner.py:259-283 — shrink an arm's learned signal toward the

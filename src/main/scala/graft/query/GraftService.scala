@@ -79,6 +79,11 @@ final class GraftService(store: SnapshotStore)(implicit spark: SparkSession) {
     val n = queryCounter.incrementAndGet()
     val qid = s"q$n-" + java.security.MessageDigest.getInstance("SHA-256")
       .digest(context.getBytes("UTF-8")).take(4).map("%02x".format(_)).mkString
+    // query.completed + kg_coverage — the reference emits both per query
+    // (events.py QueryCompleted / KGCoverageComputed)
+    graft.observe.Observe.emit("query.completed",
+      "query_id" -> qid, "top_k" -> k,
+      "domains" -> domains, "kg_coverage" -> out.kgCoverage)
     QueryResult(qid, items, out.rules, out.kgCoverage)
   }
 

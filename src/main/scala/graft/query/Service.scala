@@ -91,6 +91,21 @@ object Service {
         store.commitReplace(table, updated, Seq.empty)
       }
       val credit = creditEdges.flatMap(e => propagateCredit(e, outcomes, creditConcepts))
+      graft.observe.Observe.emit("feedback.received",
+        "query_id" -> queryId,
+        "outcome_count" -> tallies.values.sum,
+        "accepted" -> tallies.getOrElse("accepted", 0L),
+        "rejected" -> tallies.getOrElse("rejected", 0L),
+        "partial" -> tallies.getOrElse("partial", 0L))
+      credit.foreach { c =>
+        graft.observe.Observe.emit("credit.propagated",
+          "query_id" -> queryId,
+          "concept_count" -> c.conceptCount,
+          "direct_count" -> c.directCount,
+          "ancestor_count" -> c.ancestorCount,
+          "total_alpha_delta" -> c.posteriorDeltas.values.map(_._1).sum,
+          "total_beta_delta" -> c.posteriorDeltas.values.map(_._2).sum)
+      }
       Right(FeedbackResult("recorded", queryId, tallies.values.sum,
         tallies.getOrElse("accepted", 0L), tallies.getOrElse("rejected", 0L),
         tallies.getOrElse("partial", 0L), updated, credit))
