@@ -122,6 +122,30 @@ object Canon {
   )(implicit spark: SparkSession): DataFrame =
     connectedComponentsWithStats(pairs, maxIterations)._1
 
+  /** Adaptive CC — the production default: min-label propagation (cheap
+    * rounds: one join + one agg) while the graph is shallow, escalating
+    * to large-star/small-star (O(log n) rounds, heavier each) only when
+    * min-label has not converged within `switchAfter` rounds. Synonym
+    * graphs are almost always diameter ≤ a handful — they pay the cheap
+    * path; a pathological alias chain cannot stretch the loop past
+    * switchAfter + star's logarithmic budget. Labels are component
+    * minima on BOTH paths, so downstream results are identical.
+    */
+  def connectedComponentsAuto(
+      pairs: DataFrame,
+      switchAfter: Int = 10,
+      maxIterations: Int = 50
+  )(implicit spark: SparkSession): DataFrame = {
+    val (labels, iters, converged) = minLabelWithStats(pairs, switchAfter, warn = false)
+    if (converged) labels
+    else {
+      System.err.println(
+        s"[graft] connectedComponentsAuto: min-label not converged after $iters " +
+          "rounds — escalating to large-star/small-star")
+      connectedComponentsStar(pairs, maxIterations)
+    }
+  }
+
   /** Like [[connectedComponents]] but also returns the number of
     * propagation rounds actually run (the last round observes zero changes
     * — convergence proof), so tests can assert round budgets.
@@ -130,6 +154,15 @@ object Canon {
       pairs: DataFrame,
       maxIterations: Int = 50
   )(implicit spark: SparkSession): (DataFrame, Int) = {
+    val (labels, iters, _) = minLabelWithStats(pairs, maxIterations, warn = true)
+    (labels, iters)
+  }
+
+  private def minLabelWithStats(
+      pairs: DataFrame,
+      maxIterations: Int,
+      warn: Boolean
+  )(implicit spark: SparkSession): (DataFrame, Int, Boolean) = {
     val srcCol = pairs.columns(0)
     val dstCol = pairs.columns(1)
     // undirected, deduped edge list — both directions so one join propagates
@@ -177,12 +210,12 @@ object Canon {
         System.err.println(
           f"[graft] cc iter $iter: changed=$changed ${(System.nanoTime() - t0) / 1e9}%6.2f s")
     }
-    if (changed > 0)
+    if (changed > 0 && warn)
       System.err.println(
         s"[graft] WARN connectedComponents hit maxIterations=$maxIterations with " +
           s"$changed labels still changing — components larger than the round " +
           s"budget would get split canonical ids; raise maxIterations")
-    (labels.withColumnRenamed("label", "canonical_id"), iter)
+    (labels.withColumnRenamed("label", "canonical_id"), iter, changed == 0L)
     }
   }
 
@@ -306,11 +339,11 @@ object Canon {
       aliasPairs: DataFrame,
       nameSimThreshold: Double = 0.6
   )(implicit spark: SparkSession): DataFrame = {
-    // star CC is the production path: O(log n) rounds vs min-label's
-    // O(diameter), so a pathological alias chain cannot stretch the loop.
-    // Labels are identical (component minima) — the q28 oracle and the
-    // min-label equivalence property pin that.
-    val cc = connectedComponentsStar(synonymEdges(concepts, aliasPairs, nameSimThreshold))
+    // adaptive CC: cheap min-label rounds for the (typical) shallow
+    // synonym graph, star escalation only when min-label fails to
+    // converge within its budget. Labels are component minima on both
+    // paths — the q28 oracle and the equivalence property pin that.
+    val cc = connectedComponentsAuto(synonymEdges(concepts, aliasPairs, nameSimThreshold))
     concepts
       .select(col("id"))
       .join(cc, Seq("id"), "left")

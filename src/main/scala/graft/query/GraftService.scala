@@ -87,9 +87,23 @@ final class GraftService(store: SnapshotStore)(implicit spark: SparkSession) {
     QueryResult(qid, items, out.rules, out.kgCoverage)
   }
 
+  /** The service's "credit" learner (service.py:1654:
+    * `_get_or_create_learner("credit")`): causal credit deltas from
+    * feedback land in its per-concept posteriors. State restores from the
+    * committed `learner_credit` table when present and re-persists after
+    * every credit application (the reference's store.save()-per-observe).
+    */
+  lazy val creditLearner: graft.learning.Learner =
+    graft.learning.Learner.create(
+      graft.learning.LearnerConfig("credit"),
+      existingState =
+        if (store.exists("learner_credit")) Some(store.read("learner_credit")) else None)
+
   /** service.py:464-498 — validate outcomes, update + persist the
     * teleportation factors, optionally propagate causal credit through the
-    * committed edge table (the _maybe_propagate_credit flag path).
+    * committed edge table (the _maybe_propagate_credit flag path) into
+    * the credit learner's posteriors (learner.apply_credit_deltas,
+    * service.py:1653-1655).
     */
   def feedback(
       queryId: String,
@@ -101,7 +115,13 @@ final class GraftService(store: SnapshotStore)(implicit spark: SparkSession) {
       persistTo = Some((store, "factors")),
       creditEdges = if (propagateCredit) Some(edges) else None,
       creditConcepts = if (propagateCredit) Some(concepts) else None)
-    if (res.isRight) feedbackCounter.incrementAndGet()
+    res.foreach { r =>
+      feedbackCounter.incrementAndGet()
+      r.credit.foreach { c =>
+        creditLearner.applyCreditDeltas(c.posteriorDeltas)
+        creditLearner.persistTo(store, "learner_credit")
+      }
+    }
     res
   }
 

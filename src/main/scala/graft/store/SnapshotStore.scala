@@ -38,7 +38,7 @@ object SnapshotStore {
   )
 }
 
-final class SnapshotStore(root: String)(implicit spark: SparkSession) {
+final class SnapshotStore(val root: String)(implicit spark: SparkSession) {
   import SnapshotStore.Snapshot
 
   private val hadoopConf = spark.sparkContext.hadoopConfiguration

@@ -53,6 +53,40 @@ class GraftServiceSuite extends SparkFunSuite {
     assert(credit.directCount >= 1)
     assert(credit.posteriorDeltas(item)._1 == 1.0)
     assert(svc.feedbackCount == 1)
+    // the deltas land in the service's "credit" learner (service.py:1653)
+    // and its state is committed next to the warehouse
+    val armState = svc.creditLearner
+      .statesFor(Seq(graft.learning.Thompson.Arm(item)))
+      .getOrElse(item, fail("credit learner has no state for the item"))
+    assert(armState.alpha == 2.0 && armState.pulls == 1L) // 1.0 prior + 1.0 delta
+    assert(store.exists("learner_credit"))
+  }
+
+  test("GraftCli: query/stats/feedback/project command surface over the warehouse") {
+    val wh = store.root
+    val q = graft.pipeline.GraftCli.run(
+      Seq(wh, "query", "platform access control tokens", "3"), spark)
+    assert(q.head.contains("\"query_id\"") && q.head.contains("kg_coverage"))
+    assert(q.exists(_.contains("\"combined\"")))
+
+    val st = graft.pipeline.GraftCli.run(Seq(wh, "stats"), spark)
+    assert(st.exists(_.contains("\"domain\":\"web\"")))
+
+    val id = svc.query("platform access control tokens", topK = 1)
+      .items.select("id").as[String].head()
+    val fb = graft.pipeline.GraftCli.run(
+      Seq(wh, "feedback", "q-cli", s"$id=accepted"), spark)
+    assert(fb.head.contains("\"status\":\"recorded\"") && fb.head.contains("\"accepted\":1"))
+    val bad = graft.pipeline.GraftCli.run(
+      Seq(wh, "feedback", "q-cli", s"$id=meh"), spark)
+    assert(bad.head.startsWith("""{"error":"""))
+
+    val out = java.nio.file.Files.createTempDirectory("graft-cli").toString + "/rules.json"
+    val pr = graft.pipeline.GraftCli.run(
+      Seq(wh, "project", "reviewer", out, "2026-01-01T00:00:00Z"), spark)
+    assert(pr.head.contains("written"))
+    assert(new String(java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(out)), "UTF-8")
+      .contains("\"persona\":\"reviewer\""))
   }
 
   test("explore: reachable edges, neighbors and linked rules; unknown → None") {

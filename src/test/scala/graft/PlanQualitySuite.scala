@@ -120,4 +120,26 @@ class PlanQualitySuite extends SparkFunSuite {
     assert("HashAggregate".r.findAllIn(plan).size >= 2, "no partial aggregation")
     assert("Exchange".r.findAllIn(plan).size <= 2, plan.take(2000))
   }
+
+  test("Learner posterior state: UDF-free, partial+final aggregation, one merge join") {
+    import spark.implicits._
+    val obs = Seq(("default", "a", "accepted"), ("default", "b", "rejected"))
+      .toDF("context_hash", "arm_id", "outcome")
+    val plan = planOf(graft.learning.Learner.posteriorState(
+      obs, graft.learning.LearnerConfig("pq", seedArms = Seq("a")))(spark))
+    assert(!plan.contains("ScalaUDF"), plan.take(2000))
+    assert("HashAggregate".r.findAllIn(plan).size >= 2, "no partial aggregation")
+  }
+
+  test("prepared-PPR extras merge: the cached out-weight side joins without a new global shuffle of und") {
+    import spark.implicits._
+    val edges = Seq(("a", "b", 0.9), ("b", "c", 0.8))
+      .toDF("source_id", "target_id", "confidence")
+    val g = graft.graph.Ppr.prepare(edges)(spark)
+    // the prepared sides are checkpointed leaves — the per-query plan must
+    // scan them, not re-derive union+groupBy from the edge table
+    val plan = planOf(g.und.join(g.outW, Seq("src")))
+    assert(plan.contains("Scan ExistingRDD") || plan.contains("LocalTableScan"),
+      plan.take(2000))
+  }
 }

@@ -169,6 +169,19 @@ class Round4Suite extends SparkFunSuite {
 
   // ---- canonicalMap through star CC --------------------------------------
 
+  test("connectedComponentsAuto: shallow graph stays on min-label; deep chain escalates to star") {
+    // path graph a00-a01-...-a19: diameter 19 > switchAfter=3 → escalation
+    val chain = (0 until 19).map(i => (f"a$i%02d", f"a${i + 1}%02d")).toDF("id_a", "id_b")
+    val got = Canon.connectedComponentsAuto(chain, switchAfter = 3)
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(got.size == 20 && got.values.forall(_ == "a00"))
+    // shallow star-shaped graph converges inside the min-label budget
+    val shallow = (1 until 6).map(i => ("hub", s"s$i")).toDF("id_a", "id_b")
+    val got2 = Canon.connectedComponentsAuto(shallow, switchAfter = 10)
+      .collect().map(r => r.getString(1)).toSet
+    assert(got2 == Set("hub"))
+  }
+
   test("canonicalMap labels are component minima through the star-CC path") {
     val concepts = Seq("web:A Cache", "web:B Cache", "web:C Cache", "web:Solo Thing")
       .map(id => (id, id.stripPrefix("web:")))
