@@ -106,11 +106,29 @@ object SparkEntry {
   /** Dump the fixtures referenced by oracleSql. Verify calls this BEFORE
     * the driver runs the oracle SQL.
     */
-  def writeFixtures(spark: SparkSession): Unit = {
+  def writeFixtures(spark: SparkSession, sfDir: Option[String] = None): Unit = {
     implicit val s: SparkSession = spark
     val shared = kg(spark)
     def w(df: DataFrame, name: String): Unit =
       df.coalesce(1).write.mode("overwrite").parquet(s"$FixturesDir/$name")
+
+    // hash-output fixtures for the LSH-family oracles (q17–q20): minhash /
+    // simhash / hyperplane signatures and n-gram hash sets are the ONLY
+    // non-SQL-expressible stage of those operators — everything downstream
+    // (banding, bucket caps, candidate joins, hamming/jaccard verify,
+    // ranking) is re-derived independently in DuckDB from these
+    sfDir.foreach { dir =>
+      val docs = t(spark, dir, "documents")
+      w(docs.select(col("doc_id"),
+        graft.ops.Dedup.minhashUdf(col("text")).as("sig")), "minhash_sigs")
+      w(docs.select(col("doc_id"),
+        graft.ops.Dedup.simhashUdf(col("text")).as("sig")), "simhash_sigs")
+      w(docs.select(col("doc_id"),
+        graft.ops.Dedup.ngramSetUdf(col("text"), lit(3)).as("grams")), "ngram_sets")
+      w(t(spark, dir, "embeddings").select(col("vec_id"),
+        graft.ops.Similarity.planeSignatureNUdf(col("embedding"), lit(8)).as("sig")),
+        "lsh_sigs")
+    }
     w(shared.ex, "extractions")
     w(shared.edges, "pruned_edges")
     // pruning INPUT (resolved, unpruned edges) — the q27 oracle re-runs
@@ -755,6 +773,10 @@ object SparkEntry {
          |  mention_count, CAST(384 AS INT), 'feature-hash-384-v1',
          |  '${graft.core.TextSpec.version}', '', 'illustrative', coalesce(illustrates, '')
          |FROM orph WHERE rn = 1""".stripMargin,
+    "q17_ann_lsh" -> lshAnnOracleSql,
+    "q18_dedup_minhash" -> minhashOracleSql,
+    "q19_dedup_simhash" -> simhashOracleSql,
+    "q20_dedup_ngram" -> ngramOracleSql,
     "q27_kg_edges_pruned" -> pruningOracleSql,
     "q33_retrieval_hybrid" -> hybridRetrievalOracleSql,
     "q28_kg_canon_map" -> ccOracleSql,
@@ -1141,6 +1163,97 @@ object SparkEntry {
        |       THEN 'causal' ELSE 'structural' END AS layer
        |FROM final""".stripMargin
   }
+
+  // ---- LSH-family oracles (q17–q20) -------------------------------------
+  // The hash functions (minhash splitmix, simhash, hyperplane signatures,
+  // n-gram hashCode sets) are the only non-SQL-expressible stage; their
+  // per-row outputs are dumped as fixtures (writeFixtures) and everything
+  // downstream — banding, bucket caps, candidate self-joins, hamming /
+  // exact-jaccard verification, est-jaccard agreement, multi-probe ANN
+  // ranking — is re-derived independently in DuckDB.
+
+  /** Shared CTE body: minhash signatures → capped band buckets →
+    * candidate pairs with estimated jaccard (Dedup.minhashLsh downstream
+    * of the UDF; 8 bands × 4 rows, bucket = the raw minhash tuple).
+    */
+  private def minhashPairsCte: String =
+    s"""sigs AS (SELECT doc_id AS id, sig FROM read_parquet('$FixturesDir/minhash_sigs/*.parquet')),
+       |banded AS (
+       |  SELECT id, sig, b.band,
+       |    concat_ws(':', sig[b.band*4+1], sig[b.band*4+2],
+       |              sig[b.band*4+3], sig[b.band*4+4]) AS bucket
+       |  FROM sigs, (SELECT unnest(range(0,8)) AS band) b),
+       |sizes AS (SELECT band, bucket, count(*) AS bn FROM banded GROUP BY 1, 2),
+       |kept AS (SELECT banded.* FROM banded JOIN sizes USING (band, bucket)
+       |         WHERE bn <= 10000),
+       |pairs AS (
+       |  SELECT a.id AS id_a, b.id AS id_b, a.sig AS sa, b.sig AS sb
+       |  FROM kept a JOIN kept b USING (band, bucket)
+       |  WHERE a.id < b.id),
+       |est AS (
+       |  SELECT id_a, id_b,
+       |    len(list_filter(range(1, 33), i -> sa[i] = sb[i])) / CAST(32 AS DOUBLE)
+       |      AS est_jaccard
+       |  FROM pairs),
+       |agg AS (SELECT id_a, id_b, max(est_jaccard) AS est_jaccard FROM est GROUP BY 1, 2)""".stripMargin
+
+  private def minhashOracleSql: String =
+    s"""WITH $minhashPairsCte
+       |SELECT id_a, id_b, est_jaccard FROM agg WHERE est_jaccard >= 0.5""".stripMargin
+
+  private def simhashOracleSql: String =
+    s"""WITH sigs AS (SELECT doc_id AS id, sig
+       |              FROM read_parquet('$FixturesDir/simhash_sigs/*.parquet')),
+       |chunked AS (
+       |  SELECT id, sig, c.chunk, (sig >> (c.chunk*16)) & 65535 AS key
+       |  FROM sigs, (SELECT unnest(range(0,4)) AS chunk) c),
+       |sizes AS (SELECT chunk, key, count(*) AS bn FROM chunked GROUP BY 1, 2),
+       |kept AS (SELECT chunked.* FROM chunked JOIN sizes USING (chunk, key)
+       |         WHERE bn <= 10000),
+       |pairs AS (
+       |  SELECT DISTINCT a.id AS id_a, b.id AS id_b,
+       |    CAST(bit_count(xor(a.sig, b.sig)) AS INT) AS hamming
+       |  FROM kept a JOIN kept b USING (chunk, key)
+       |  WHERE a.id < b.id)
+       |SELECT id_a, id_b, hamming FROM pairs WHERE hamming <= 8""".stripMargin
+
+  private def ngramOracleSql: String =
+    s"""WITH $minhashPairsCte,
+       |cand AS (SELECT id_a, id_b FROM agg WHERE est_jaccard >= 0.25),
+       |grams AS (SELECT doc_id AS id, grams
+       |          FROM read_parquet('$FixturesDir/ngram_sets/*.parquet')),
+       |verify AS (
+       |  SELECT c.id_a, c.id_b,
+       |    CASE WHEN len(ga.grams) = 0 OR len(gb.grams) = 0 THEN 0.0
+       |      ELSE len(list_intersect(ga.grams, gb.grams)) /
+       |           CAST(len(ga.grams) + len(gb.grams)
+       |                - len(list_intersect(ga.grams, gb.grams)) AS DOUBLE)
+       |    END AS jaccard
+       |  FROM cand c JOIN grams ga ON c.id_a = ga.id JOIN grams gb ON c.id_b = gb.id)
+       |SELECT id_a, id_b, jaccard FROM verify WHERE jaccard >= 0.5""".stripMargin
+
+  private def lshAnnOracleSql: String =
+    s"""WITH sigs AS (SELECT vec_id, sig FROM read_parquet('$FixturesDir/lsh_sigs/*.parquet')),
+       |c AS (SELECT s.vec_id AS neighbor_id, e.embedding AS nv, s.sig AS bucket
+       |      FROM sigs s JOIN embeddings e USING (vec_id)),
+       |q0 AS (SELECT s.vec_id AS query_id, e.embedding AS qv, s.sig AS qsig
+       |       FROM sigs s JOIN embeddings e USING (vec_id) WHERE s.vec_id < 5),
+       |probes AS (
+       |  SELECT query_id, qv,
+       |    CASE WHEN p.i = -1 THEN qsig ELSE xor(qsig, 1 << p.i) END AS bucket
+       |  FROM q0, (SELECT unnest(range(-1, 8)) AS i) p),
+       |joined AS (
+       |  SELECT query_id, neighbor_id,
+       |    list_cosine_similarity(CAST(qv AS DOUBLE[]), CAST(nv AS DOUBLE[])) AS cosine
+       |  FROM probes JOIN c USING (bucket)
+       |  WHERE query_id <> neighbor_id),
+       |ranked AS (
+       |  SELECT query_id, neighbor_id, cosine,
+       |    ROW_NUMBER() OVER (PARTITION BY query_id
+       |      ORDER BY cosine DESC, neighbor_id ASC) AS rank
+       |  FROM joined)
+       |SELECT query_id, neighbor_id, round(cosine, 4) AS cosine, CAST(rank AS INT) AS rank
+       |FROM ranked WHERE rank <= 5""".stripMargin
 
   /** q33's oracle: the hybrid-retrieval graph half re-derived in SQL —
     * factor weighting (empty factors → weight = vec_score), the BLOCKED

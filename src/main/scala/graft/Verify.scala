@@ -17,7 +17,7 @@ object Verify {
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
     // oracle fixtures first — the driver's DuckDB pass reads them by path
-    try SparkEntry.writeFixtures(spark)
+    try SparkEntry.writeFixtures(spark, Some(sfDir))
     catch { case e: Throwable =>
       System.err.println(s"[verify] fixtures failed: ${e.getMessage}")
     }

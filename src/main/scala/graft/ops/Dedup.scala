@@ -98,11 +98,15 @@ object Dedup {
       implicit spark: SparkSession): DataFrame = {
     val sigs = docs
       .select(col(idCol).as("id"), minhashUdf(col("text")).as("sig"))
+    // bucket key = the band's RAW minhash tuple (not a re-hash): grouping
+    // on the values directly is collision-free and lets the q18 oracle
+    // re-derive banding from the dumped signatures in plain SQL
     val allBanded = sigs.select(
       col("id"), col("sig"),
       explode(array((0 until Bands).map { b =>
         struct(lit(b).as("band"),
-          hash((b * RowsPerBand until (b + 1) * RowsPerBand).map(i => col("sig")(i)): _*)
+          concat_ws(":",
+            (b * RowsPerBand until (b + 1) * RowsPerBand).map(i => col("sig")(i)): _*)
             .as("bucket"))
       }: _*)).as("bb"))
       .select(col("id"), col("sig"), col("bb.band"), col("bb.bucket"))
