@@ -326,11 +326,14 @@ object SparkEntry {
     "q23_fingerprint" -> ((s, dir) => TextAnalysis.fingerprints(t(s, dir, "documents"))),
     "q24_mm_features" -> ((s, dir) => {
       implicit val sp = s
-      // features serialized to JSON: the driver's checker sorts/hashes rows
-      // in pandas, which cannot hash raw array columns
-      Multimodal.extractFeatures(Multimodal.synthesizeFromDocuments(t(s, dir, "documents")))
-        .select(col("media_id"), col("kind"), col("n_bytes"),
-          to_json(col("features")).as("features_json"))
+      // features flattened to scalar double columns (the checker cannot
+      // hash raw arrays); float→double cast is value-exact, so the oracle
+      // reproduces the float32 arithmetic bit-for-bit via double math +
+      // a float32 round-trip cast
+      val f = Multimodal.extractFeatures(
+        Multimodal.synthesizeFromDocuments(t(s, dir, "documents")))
+      f.select(Seq(col("media_id"), col("kind"), col("n_bytes")) ++
+        (0 until 8).map(i => col("features")(i).cast("double").as(s"f$i")): _*)
     }),
     // ---------- KG construction over deterministic generated pages ------
     "q25_kg_triples" -> ((s, _) => {
@@ -774,6 +777,36 @@ object SparkEntry {
          |  '${graft.core.TextSpec.version}', '', 'illustrative', coalesce(illustrates, '')
          |FROM orph WHERE rn = 1""".stripMargin,
     "q17_ann_lsh" -> lshAnnOracleSql,
+    "q24_mm_features" ->
+      // the stub decoder's byte statistics re-derived from the (all-ASCII)
+      // text: char codes == payload bytes, hist bucket = code // 64. The
+      // operator computes in float32 over exact <2^24 integers, so double
+      // math + a float32 round-trip cast reproduces every value exactly.
+      """WITH d AS (SELECT doc_id AS media_id,
+        |  CASE WHEN doc_id % 3 = 0 THEN 'image'
+        |       WHEN doc_id % 3 = 1 THEN 'audio' ELSE 'video' END AS kind,
+        |  text AS t FROM documents),
+        |c AS (SELECT media_id, kind, CAST(length(t) AS BIGINT) AS n_bytes,
+        |  list_transform(range(1, length(t)+1), i -> unicode(t[i])) AS codes FROM d),
+        |s AS (SELECT media_id, kind, n_bytes,
+        |  CAST(n_bytes AS DOUBLE) AS n,
+        |  CAST(list_sum(codes) AS DOUBLE) AS sm,
+        |  CAST(list_max(codes) AS DOUBLE) AS mx, CAST(list_min(codes) AS DOUBLE) AS mn,
+        |  CAST(len(list_filter(codes, x -> x // 64 = 0)) AS DOUBLE) AS h0,
+        |  CAST(len(list_filter(codes, x -> x // 64 = 1)) AS DOUBLE) AS h1,
+        |  CAST(len(list_filter(codes, x -> x // 64 = 2)) AS DOUBLE) AS h2,
+        |  CAST(len(list_filter(codes, x -> x // 64 = 3)) AS DOUBLE) AS h3
+        |  FROM c)
+        |SELECT media_id, kind, n_bytes,
+        |  CAST(CAST(n AS FLOAT) AS DOUBLE) AS f0,
+        |  CASE WHEN n_bytes = 0 THEN 0.0 ELSE CAST(CAST(sm / n AS FLOAT) AS DOUBLE) END AS f1,
+        |  CASE WHEN n_bytes = 0 THEN 0.0 ELSE CAST(CAST(mx AS FLOAT) AS DOUBLE) END AS f2,
+        |  CASE WHEN n_bytes = 0 THEN 0.0 ELSE CAST(CAST(mn AS FLOAT) AS DOUBLE) END AS f3,
+        |  CASE WHEN n_bytes = 0 THEN 0.0 ELSE CAST(CAST(h0 / n AS FLOAT) AS DOUBLE) END AS f4,
+        |  CASE WHEN n_bytes = 0 THEN 0.0 ELSE CAST(CAST(h1 / n AS FLOAT) AS DOUBLE) END AS f5,
+        |  CASE WHEN n_bytes = 0 THEN 0.0 ELSE CAST(CAST(h2 / n AS FLOAT) AS DOUBLE) END AS f6,
+        |  CASE WHEN n_bytes = 0 THEN 0.0 ELSE CAST(CAST(h3 / n AS FLOAT) AS DOUBLE) END AS f7
+        |FROM s""".stripMargin,
     "q18_dedup_minhash" -> minhashOracleSql,
     "q19_dedup_simhash" -> simhashOracleSql,
     "q20_dedup_ngram" -> ngramOracleSql,

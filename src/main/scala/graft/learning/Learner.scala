@@ -22,13 +22,23 @@ object Reward {
     val rewards: Map[String, Double] =
       Map("accepted" -> 1.0, "partial" -> 0.5, "rejected" -> 0.0)
     def compute(outcome: String): Double = rewards.getOrElse(outcome, 0.0)
-
-    /** The same mapping as a Column, for distributed observation streams. */
-    def column(outcome: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
-      when(outcome === "accepted", 1.0)
-        .when(outcome === "partial", 0.5)
-        .otherwise(0.0)
   }
+
+  /** A reward model as a Column, for distributed observation streams —
+    * both built-ins are pure CASE expressions (codegen'd); a custom model
+    * falls back to a driver-opaque mapping only if someone adds one.
+    */
+  def column(model: Model, outcome: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    model match {
+      case Binary => when(outcome === "accepted", 1.0).otherwise(0.0)
+      case Ternary =>
+        when(outcome === "accepted", 1.0)
+          .when(outcome === "partial", 0.5)
+          .otherwise(0.0)
+      case m =>
+        val f = udf((s: String) => m.compute(if (s == null) "" else s))
+        f(outcome)
+    }
 }
 
 /** LearnerConfig (types.py:96-106). */
@@ -165,7 +175,7 @@ final class Learner private (
   def batchObserve(observations: DataFrame): Unit = {
     val obs =
       if (observations.columns.contains("reward")) observations
-      else observations.withColumn("reward", Reward.Ternary.column(col("outcome")))
+      else observations.withColumn("reward", Reward.column(rewardModel, col("outcome")))
     replace(mergeObservations(stateDf,
       obs.select(col("context_hash"), col("arm_id"), col("reward"))))
   }
@@ -406,7 +416,7 @@ object Learner {
   )(implicit spark: SparkSession): DataFrame = {
     val obs =
       if (observations.columns.contains("reward")) observations
-      else observations.withColumn("reward", Reward.Ternary.column(col("outcome")))
+      else observations.withColumn("reward", Reward.column(rewardModel, col("outcome")))
     mergeObservations(
       applySeedBoosts(seedRows(config).limit(0), config),
       obs.select(col("context_hash"), col("arm_id"), col("reward")))
