@@ -128,6 +128,18 @@ object SparkEntry {
       w(t(spark, dir, "embeddings").select(col("vec_id"),
         graft.ops.Similarity.planeSignatureNUdf(col("embedding"), lit(8)).as("sig")),
         "lsh_sigs")
+      // IVF coarse quantizer (q48): k-means training is the only
+      // non-SQL-expressible stage — the trained centroids are the
+      // fixture; assignment, probing, and ranking are all re-derived
+      // independently in DuckDB. Training is bit-deterministic
+      // (fixed-point sums, lowest-id init), so this dump and the q48
+      // query's own training agree exactly.
+      locally {
+        import spark.implicits._
+        val cents = graft.ops.Ivf.train(t(spark, dir, "embeddings"), k = 16, iters = 5)
+        w(cents.toSeq.zipWithIndex.map { case (c, i) => (i, c.toSeq) }
+          .toDF("cluster", "centroid"), "ivf_centroids")
+      }
     }
     w(shared.ex, "extractions")
     w(shared.edges, "pruned_edges")
@@ -266,6 +278,11 @@ object SparkEntry {
         .agg(count(lit(1)).as("n"),
           sum(col("value").cast("decimal(18,4)")).cast("double").as("sum_value"))
     }),
+    "q49_events_windowed" -> ((s, dir) =>
+      // the streaming windowed-agg operator run in batch mode (the
+      // watermark is a no-op there; streaming semantics are
+      // suite-driven in WindowedEventsSuite)
+      graft.streaming.WindowedEvents.hourlyByType(t(s, dir, "events"))),
     // ---------- text analysis over documents ----------
     "q11_doc_lang_stats" -> ((s, dir) => {
       t(s, dir, "documents")
@@ -303,10 +320,24 @@ object SparkEntry {
       implicit val sp = s
       Dedup.minhashLsh(t(s, dir, "documents")).filter(col("est_jaccard") >= 0.5)
     }),
+    "q48_ann_ivf" -> ((s, dir) => {
+      implicit val sp = s
+      val emb = t(s, dir, "embeddings")
+      graft.ops.Ivf.ivfTopK(emb, emb.filter(col("vec_id") < 5),
+        k = 5, nClusters = 16, iters = 5, nprobe = 4)
+        .withColumn("cosine", round(col("cosine"), 4))
+    }),
     "q19_dedup_simhash" -> ((s, dir) => {
       implicit val sp = s
       Dedup.simhash(t(s, dir, "documents"), maxHamming = 8)
     }),
+    "q50_dedup_clusters" -> ((s, dir) => {
+      implicit val sp = s
+      Dedup.dedupClusters(t(s, dir, "documents"))
+    }),
+    "q51_split_assign" -> ((s, dir) =>
+      graft.ops.Sampling.assignSplits(t(s, dir, "documents"))
+        .select("doc_id", "bucket", "split")),
     "q20_dedup_ngram" -> ((s, dir) => {
       implicit val sp = s
       Dedup.ngramJaccard(t(s, dir, "documents"), threshold = 0.5)
@@ -614,6 +645,13 @@ object SparkEntry {
       """SELECT date_trunc('hour', ts) AS hour, event_type, COUNT(*) AS n,
         | CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
         |FROM events GROUP BY 1, 2""".stripMargin,
+    "q49_events_windowed" ->
+      // Spark's window(ts, '1 hour') start == date_trunc; end = start + 1h
+      """SELECT date_trunc('hour', ts) AS window_start,
+        | date_trunc('hour', ts) + INTERVAL 1 HOUR AS window_end,
+        | event_type, COUNT(*) AS n_events,
+        | CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+        |FROM events GROUP BY 1, 2, 3""".stripMargin,
     "q11_doc_lang_stats" ->
       // CAST: DuckDB SUM(BIGINT) yields HUGEINT (int128) — the driver's
       // hasher then sees different value types than Spark's BIGINT
@@ -777,6 +815,43 @@ object SparkEntry {
          |  '${graft.core.TextSpec.version}', '', 'illustrative', coalesce(illustrates, '')
          |FROM orph WHERE rn = 1""".stripMargin,
     "q17_ann_lsh" -> lshAnnOracleSql,
+    "q48_ann_ivf" ->
+      // centroids are the fixture (k-means is the one non-SQL stage);
+      // nearest-centroid assignment, nprobe probing, candidate join, and
+      // the top-k ranking are all re-derived independently here. Cosine
+      // ties break by lower cluster / neighbor id on both sides.
+      s"""WITH cents AS (SELECT cluster, centroid
+         |  FROM read_parquet('$FixturesDir/ivf_centroids/*.parquet')),
+         |sims AS (SELECT e.vec_id, c.cluster,
+         |    list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+         |                           CAST(c.centroid AS DOUBLE[])) AS sim
+         |  FROM embeddings e, cents c),
+         |asg AS (SELECT vec_id AS neighbor_id, cluster FROM (
+         |    SELECT vec_id, cluster,
+         |      ROW_NUMBER() OVER (PARTITION BY vec_id
+         |        ORDER BY sim DESC, cluster ASC) AS rn
+         |    FROM sims) WHERE rn = 1),
+         |probes AS (SELECT vec_id AS query_id, cluster FROM (
+         |    SELECT vec_id, cluster,
+         |      ROW_NUMBER() OVER (PARTITION BY vec_id
+         |        ORDER BY sim DESC, cluster ASC) AS rn
+         |    FROM sims WHERE vec_id < 5) WHERE rn <= 4),
+         |cand AS (SELECT p.query_id, a.neighbor_id
+         |  FROM probes p JOIN asg a USING (cluster)
+         |  WHERE p.query_id <> a.neighbor_id),
+         |scored AS (SELECT c.query_id, c.neighbor_id,
+         |    list_cosine_similarity(CAST(qe.embedding AS DOUBLE[]),
+         |                           CAST(ne.embedding AS DOUBLE[])) AS cosine
+         |  FROM cand c
+         |  JOIN embeddings qe ON c.query_id = qe.vec_id
+         |  JOIN embeddings ne ON c.neighbor_id = ne.vec_id),
+         |ranked AS (SELECT query_id, neighbor_id, cosine,
+         |    ROW_NUMBER() OVER (PARTITION BY query_id
+         |      ORDER BY cosine DESC, neighbor_id ASC) AS rank
+         |  FROM scored)
+         |SELECT query_id, neighbor_id, round(cosine, 4) AS cosine,
+         |  CAST(rank AS INT) AS rank
+         |FROM ranked WHERE rank <= 5""".stripMargin,
     "q24_mm_features" ->
       // the stub decoder's byte statistics re-derived from the (all-ASCII)
       // text: char codes == payload bytes, hist bucket = code // 64. The
@@ -809,6 +884,18 @@ object SparkEntry {
         |FROM s""".stripMargin,
     "q18_dedup_minhash" -> minhashOracleSql,
     "q19_dedup_simhash" -> simhashOracleSql,
+    "q50_dedup_clusters" -> dedupClustersOracleSql,
+    "q51_split_assign" ->
+      // fixture-free: md5 is md5 in both engines; hex→int via conv /
+      // CAST('0x…'), mod 1000, same CASE cut
+      """WITH b AS (SELECT doc_id,
+        |  CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':graft'), 1, 8))
+        |       AS BIGINT) % 1000 AS bucket
+        |  FROM documents)
+        |SELECT doc_id, bucket,
+        |  CASE WHEN bucket < 900 THEN 'train'
+        |       WHEN bucket < 950 THEN 'val' ELSE 'test' END AS split
+        |FROM b""".stripMargin,
     "q20_dedup_ngram" -> ngramOracleSql,
     "q27_kg_edges_pruned" -> pruningOracleSql,
     "q33_retrieval_hybrid" -> hybridRetrievalOracleSql,
@@ -1233,6 +1320,29 @@ object SparkEntry {
   private def minhashOracleSql: String =
     s"""WITH $minhashPairsCte
        |SELECT id_a, id_b, est_jaccard FROM agg WHERE est_jaccard >= 0.5""".stripMargin
+
+  // q50: candidate pairs re-derived from the minhash-signature fixture
+  // (same CTE as q18), then the TRANSITIVE CLOSURE — the operator's
+  // connected components — re-computed independently via a recursive
+  // CTE: every label spreads along symmetric edges until fixpoint, and
+  // MIN over the reach set is exactly the min-label CC result.
+  private def dedupClustersOracleSql: String =
+    s"""WITH RECURSIVE $minhashPairsCte,
+       |p AS (SELECT id_a, id_b FROM agg WHERE est_jaccard >= 0.5),
+       |e AS (SELECT id_a AS src, id_b AS dst FROM p
+       |      UNION SELECT id_b, id_a FROM p),
+       |nn AS (SELECT DISTINCT src AS id FROM e),
+       |reach AS (
+       |  SELECT id, id AS r FROM nn
+       |  UNION
+       |  SELECT e.dst AS id, reach.r FROM reach JOIN e ON reach.id = e.src),
+       |lbl AS (SELECT id, MIN(r) AS cluster_id FROM reach GROUP BY id),
+       |asgn AS (SELECT d.doc_id, COALESCE(l.cluster_id, d.doc_id) AS cluster_id
+       |         FROM documents d LEFT JOIN lbl l ON d.doc_id = l.id),
+       |counts AS (SELECT cluster_id, COUNT(*) AS n_members FROM asgn GROUP BY 1)
+       |SELECT a.doc_id, a.cluster_id, c.n_members,
+       |  a.doc_id = a.cluster_id AS keep
+       |FROM asgn a JOIN counts c USING (cluster_id)""".stripMargin
 
   private def simhashOracleSql: String =
     s"""WITH sigs AS (SELECT doc_id AS id, sig

@@ -238,4 +238,35 @@ object Dedup {
       .filter(col("cosine") >= threshold)
       .select("id_a", "id_b", "cosine")
   }
+
+  /** Near-dup CLUSTER resolution — what a training-data pipeline actually
+    * consumes: pairwise candidates only say "these two are similar";
+    * keeping one copy per duplicate *group* needs the transitive closure
+    * (A~B, B~C ⇒ {A,B,C} is one cluster even if A and C never met in a
+    * band). Composes [[minhashLsh]] with the engine's connected
+    * components (`Canon.connectedComponents` — iterative min-label joins
+    * with checkpointed frontiers, the same scale path the KG
+    * canonicalizer uses). One row per input document:
+    * `cluster_id` = smallest doc_id in its component (singleton docs are
+    * their own cluster), `n_members`, and `keep` = true on the one
+    * canonical row per cluster.
+    */
+  def dedupClusters(
+      docs: DataFrame,
+      minEstJaccard: Double = 0.5,
+      idCol: String = "doc_id"
+  )(implicit spark: SparkSession): DataFrame = {
+    val pairs = minhashLsh(docs, idCol)
+      .filter(col("est_jaccard") >= minEstJaccard)
+      .select(col("id_a"), col("id_b"))
+    val cc = graft.canon.Canon.connectedComponents(pairs)
+    val asgn = docs.select(col(idCol).as("doc_id"))
+      .join(cc.withColumnRenamed("id", "doc_id"), Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("canonical_id"), col("doc_id")).as("cluster_id"))
+    val sizes = asgn.groupBy("cluster_id").agg(count(lit(1)).as("n_members"))
+    asgn.join(sizes, Seq("cluster_id"))
+      .select(col("doc_id"), col("cluster_id"), col("n_members"),
+        (col("doc_id") === col("cluster_id")).as("keep"))
+  }
 }

@@ -29,6 +29,40 @@ class OpsSuite extends SparkFunSuite {
     assert(!pairs.exists(p => p._1 == 4L || p._2 == 4L))
   }
 
+  test("dedup clusters: transitive closure, canonical keeper, singletons") {
+    // 0≡1 (exact) and 0~2 (near): {0,1,2} must land in ONE cluster even
+    // if 1 and 2 never met in a band; 3 and 4 stay singletons
+    val out = Dedup.dedupClusters(docs)
+      .as[(Long, Long, Long, Boolean)].collect()
+      .map(r => r._1 -> (r._2, r._3, r._4)).toMap
+    assert(out.size == 5) // one row per input doc
+    assert(out(0L) == ((0L, 3L, true)))
+    assert(out(1L) == ((0L, 3L, false)))
+    assert(out(2L) == ((0L, 3L, false)))
+    assert(out(3L) == ((3L, 1L, true)))
+    assert(out(4L) == ((4L, 1L, true)))
+  }
+
+  test("split assignment is a pure function of the id — partitioning-proof") {
+    import graft.ops.Sampling
+    val corpus = (0L until 1000L).map(i => (i, s"doc $i")).toDF("doc_id", "text")
+    val a = Sampling.assignSplits(corpus).select("doc_id", "bucket", "split")
+      .as[(Long, Long, String)].collect().toSet
+    val b = Sampling.assignSplits(corpus.repartition(13)).select("doc_id", "bucket", "split")
+      .as[(Long, Long, String)].collect().toSet
+    assert(a == b)
+    val bySplit = a.groupBy(_._3).view.mapValues(_.size).toMap
+    // 900/50/50 permille cut: binomial bounds, not exact thirds
+    assert(bySplit("train") > 850 && bySplit("train") < 950)
+    assert(bySplit("val") > 20 && bySplit("val") < 90)
+    assert(bySplit("test") > 20 && bySplit("test") < 90)
+    assert(bySplit.values.sum == 1000)
+    // sample: deterministic subset of the right magnitude
+    val s1 = Sampling.sample(corpus, 100).select("doc_id").as[Long].collect().toSet
+    val s2 = Sampling.sample(corpus.coalesce(1), 100).select("doc_id").as[Long].collect().toSet
+    assert(s1 == s2 && s1.size > 60 && s1.size < 150)
+  }
+
   test("simhash: identical docs at hamming 0; unrelated docs far") {
     val pairs = Dedup.simhash(docs, maxHamming = 3)
       .as[(Long, Long, Long)].collect()
