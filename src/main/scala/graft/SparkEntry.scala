@@ -1303,7 +1303,8 @@ object SparkEntry {
        |    concat_ws(':', sig[b.band*4+1], sig[b.band*4+2],
        |              sig[b.band*4+3], sig[b.band*4+4]) AS bucket
        |  FROM sigs, (SELECT unnest(range(0,8)) AS band) b),
-       |sizes AS (SELECT band, bucket, count(*) AS bn FROM banded GROUP BY 1, 2),
+       |sizes AS (SELECT band, bucket, count(*) AS bn, MIN(id) AS mn
+       |          FROM banded GROUP BY 1, 2),
        |kept AS (SELECT banded.* FROM banded JOIN sizes USING (band, bucket)
        |         WHERE bn <= 10000),
        |pairs AS (
@@ -1328,7 +1329,11 @@ object SparkEntry {
   // MIN over the reach set is exactly the min-label CC result.
   private def dedupClustersOracleSql: String =
     s"""WITH RECURSIVE $minhashPairsCte,
-       |p AS (SELECT id_a, id_b FROM agg WHERE est_jaccard >= 0.5),
+       |star AS (SELECT s.mn AS id_a, b.id AS id_b
+       |         FROM banded b JOIN sizes s USING (band, bucket)
+       |         WHERE s.bn > 10000 AND b.id <> s.mn),
+       |p AS (SELECT id_a, id_b FROM agg WHERE est_jaccard >= 0.5
+       |      UNION SELECT id_a, id_b FROM star),
        |e AS (SELECT id_a AS src, id_b AS dst FROM p
        |      UNION SELECT id_b, id_a FROM p),
        |nn AS (SELECT DISTINCT src AS id FROM e),

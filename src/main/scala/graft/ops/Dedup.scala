@@ -94,22 +94,27 @@ object Dedup {
     * Output: (id_a, id_b) with id_a < id_b, plus the estimated Jaccard
     * from signature agreement.
     */
+  /** Banded minhash signatures: one row per (doc, band) keyed by the
+    * band's RAW minhash tuple (not a re-hash) — grouping on the values
+    * directly is collision-free and lets the q18/q50 oracles re-derive
+    * banding from the dumped signatures in plain SQL.
+    */
+  private[graft] def minhashBanded(docs: DataFrame, idCol: String): DataFrame =
+    docs
+      .select(col(idCol).as("id"), minhashUdf(col("text")).as("sig"))
+      .select(
+        col("id"), col("sig"),
+        explode(array((0 until Bands).map { b =>
+          struct(lit(b).as("band"),
+            concat_ws(":",
+              (b * RowsPerBand until (b + 1) * RowsPerBand).map(i => col("sig")(i)): _*)
+              .as("bucket"))
+        }: _*)).as("bb"))
+      .select(col("id"), col("sig"), col("bb.band"), col("bb.bucket"))
+
   def minhashLsh(docs: DataFrame, idCol: String = "doc_id", bucketCap: Long = 10000L)(
       implicit spark: SparkSession): DataFrame = {
-    val sigs = docs
-      .select(col(idCol).as("id"), minhashUdf(col("text")).as("sig"))
-    // bucket key = the band's RAW minhash tuple (not a re-hash): grouping
-    // on the values directly is collision-free and lets the q18 oracle
-    // re-derive banding from the dumped signatures in plain SQL
-    val allBanded = sigs.select(
-      col("id"), col("sig"),
-      explode(array((0 until Bands).map { b =>
-        struct(lit(b).as("band"),
-          concat_ws(":",
-            (b * RowsPerBand until (b + 1) * RowsPerBand).map(i => col("sig")(i)): _*)
-            .as("bucket"))
-      }: _*)).as("bb"))
-      .select(col("id"), col("sig"), col("bb.band"), col("bb.bucket"))
+    val allBanded = minhashBanded(docs, idCol)
     // degenerate-bucket guard: a boilerplate-heavy band bucket would go
     // |bucket|² in the self-join below; pairs in a dropped bucket usually
     // still meet through one of the other 7 bands
@@ -243,29 +248,64 @@ object Dedup {
     * consumes: pairwise candidates only say "these two are similar";
     * keeping one copy per duplicate *group* needs the transitive closure
     * (A~B, B~C ⇒ {A,B,C} is one cluster even if A and C never met in a
-    * band). Composes [[minhashLsh]] with the engine's connected
+    * band). Composes minhash banding with the engine's connected
     * components (`Canon.connectedComponents` — iterative min-label joins
     * with checkpointed frontiers, the same scale path the KG
-    * canonicalizer uses). One row per input document:
-    * `cluster_id` = smallest doc_id in its component (singleton docs are
-    * their own cluster), `n_members`, and `keep` = true on the one
-    * canonical row per cluster.
+    * canonicalizer uses).
+    *
+    * Giant-family correctness: buckets over `bucketCap` must NOT go
+    * through the |bucket|² verified self-join, but for CLUSTERING they
+    * must not be dropped either — a 10⁶-copy boilerplate family is
+    * exactly the cluster a 100-TB dedup exists to find. Over-cap buckets
+    * instead contribute STAR edges (every member → the bucket's min id):
+    * O(m) edges with the same connectivity, skipping the est-jaccard
+    * verify (members of a full-band-identical giant bucket are accepted
+    * as dups — the precision loss is confined to over-cap buckets, and
+    * which ones were star-linked is loggable via GRAFT_VERBOSE).
+    *
+    * One row per input document: `cluster_id` = smallest doc_id in its
+    * component (singletons are their own cluster), `n_members`, and
+    * `keep` = true on the one canonical row per cluster.
     */
   def dedupClusters(
       docs: DataFrame,
       minEstJaccard: Double = 0.5,
-      idCol: String = "doc_id"
+      idCol: String = "doc_id",
+      bucketCap: Long = 10000L
   )(implicit spark: SparkSession): DataFrame = {
-    val pairs = minhashLsh(docs, idCol)
-      .filter(col("est_jaccard") >= minEstJaccard)
+    val allBanded = minhashBanded(docs, idCol)
+    val sizes = allBanded.groupBy("band", "bucket")
+      .agg(count(lit(1)).as("__bn"), min(col("id")).as("__mn"))
+
+    // normal buckets: verified pairwise candidates (est-jaccard gate)
+    val small = allBanded.join(
+      sizes.filter(col("__bn") <= bucketCap).select("band", "bucket"),
+      Seq("band", "bucket"))
+    val a = small.select(col("band"), col("bucket"), col("id").as("id_a"), col("sig").as("sig_a"))
+    val b = small.select(col("band"), col("bucket"), col("id").as("id_b"), col("sig").as("sig_b"))
+    val simUdf = udf { (x: Seq[Long], y: Seq[Long]) =>
+      x.zip(y).count { case (u, v) => u == v }.toDouble / NumHashes
+    }
+    val verified = a.join(b, Seq("band", "bucket"))
+      .filter(col("id_a") < col("id_b"))
+      .filter(simUdf(col("sig_a"), col("sig_b")) >= minEstJaccard)
       .select(col("id_a"), col("id_b"))
-    val cc = graft.canon.Canon.connectedComponents(pairs)
+
+    // giant buckets: star-link members to the bucket minimum — O(m)
+    val star = allBanded.join(
+      sizes.filter(col("__bn") > bucketCap).select(col("band"), col("bucket"), col("__mn")),
+      Seq("band", "bucket"))
+      .filter(col("id") =!= col("__mn"))
+      .select(col("__mn").as("id_a"), col("id").as("id_b"))
+
+    val cc = graft.canon.Canon.connectedComponents(
+      verified.union(star).distinct())
     val asgn = docs.select(col(idCol).as("doc_id"))
       .join(cc.withColumnRenamed("id", "doc_id"), Seq("doc_id"), "left")
       .select(col("doc_id"),
         coalesce(col("canonical_id"), col("doc_id")).as("cluster_id"))
-    val sizes = asgn.groupBy("cluster_id").agg(count(lit(1)).as("n_members"))
-    asgn.join(sizes, Seq("cluster_id"))
+    val clusterSizes = asgn.groupBy("cluster_id").agg(count(lit(1)).as("n_members"))
+    asgn.join(clusterSizes, Seq("cluster_id"))
       .select(col("doc_id"), col("cluster_id"), col("n_members"),
         (col("doc_id") === col("cluster_id")).as("keep"))
   }

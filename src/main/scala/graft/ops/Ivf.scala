@@ -108,8 +108,11 @@ object Ivf {
     require(k > 0 && k <= 4096,
       s"IVF centroid count $k out of driver-bounded range (0, 4096]")
     import spark.implicits._
+    // id keeps its natural type — "the k lowest-id vectors" must hold
+    // for string ids (VectorIndex) as well as numeric ones (a cast to
+    // long would null string ids and scramble the deterministic init)
     val vecs = corpus
-      .select(col(idCol).cast("long").as("id"), col(vecCol).as("v"))
+      .select(col(idCol).as("id"), col(vecCol).as("v"))
       .filter(col("v").isNotNull && size(col("v")) > 0)
     val init = vecs.orderBy(col("id")).limit(k).select("v").as[Seq[Float]].collect()
     require(init.nonEmpty, "IVF training corpus is empty")

@@ -25,6 +25,8 @@ import org.apache.spark.sql.functions._
   *    (index.py:161-230) — query broadcast, corpus streams once.
   *  - searchBatch: the scale path for many queries — hyperplane-LSH
   *    bucketed probing (Similarity.lshTopK).
+  *  - buildIvf/searchIvf: the coarse-quantizer alternative (ops.Ivf) —
+  *    build once per index snapshot, probe nprobe/k of the corpus.
   *
   * Time travel is preserved: `asOf(id)` resolves any retained snapshot with
   * the same latest-wins rule.
@@ -114,4 +116,27 @@ final class VectorIndex(store: SnapshotStore, table: String = "vector_index")(
   def searchBatch(queries: DataFrame, k: Int = 10, planes: Int = 8): DataFrame =
     Similarity.lshTopK(read(), queries, k, planes,
       idCol = "id", vecCol = "embedding")
+
+  /** Build an IVF layout over the CURRENT resolved index: trained
+    * centroids + the cluster-stamped corpus, checkpointed so repeated
+    * probes don't re-pay the merge-on-read resolution or re-assignment.
+    * Rebuild after upserts/compaction (the returned layout is a snapshot
+    * of the index at build time, like any ANN index).
+    */
+  def buildIvf(nClusters: Int = 16, iters: Int = 5): (Array[Array[Float]], DataFrame) = {
+    val corpus = read().localCheckpoint()
+    val cents = graft.ops.Ivf.train(corpus, nClusters, iters, idCol = "id")
+    (cents, graft.ops.Ivf.index(corpus, cents, idCol = "id").localCheckpoint())
+  }
+
+  /** Batch ANN via a prebuilt IVF layout — probe cost ≈ nprobe/k of the
+    * corpus per query, no shuffle of the indexed side.
+    */
+  def searchIvf(
+      ivf: (Array[Array[Float]], DataFrame),
+      queries: DataFrame,
+      k: Int = 10,
+      nprobe: Int = 4
+  ): DataFrame =
+    graft.ops.Ivf.search(ivf._2, ivf._1, queries, k, nprobe, idCol = "id")
 }

@@ -43,6 +43,23 @@ class OpsSuite extends SparkFunSuite {
     assert(out(4L) == ((4L, 1L, true)))
   }
 
+  test("dedup clusters: over-cap bucket star-links instead of dropping the giant family") {
+    // 40 identical docs blow a bucketCap of 5 in every band — the pure
+    // pairwise path (minhashLsh) DROPS those buckets, but clustering must
+    // still find the family, via O(m) star edges to the bucket minimum
+    val giant = (0L until 40L).map(i => (i, "same boilerplate text repeated " +
+      "across the whole mirror family of this synthetic corpus")) :+
+      (99L, "an unrelated document about completely different things entirely")
+    val df = giant.toDF("doc_id", "text")
+    val out = Dedup.dedupClusters(df, bucketCap = 5L)
+      .as[(Long, Long, Long, Boolean)].collect()
+    val family = out.filter(_._1 < 40L)
+    assert(family.forall(_._2 == 0L), "giant family must collapse to cluster 0")
+    assert(family.forall(_._3 == 40L))
+    assert(family.count(_._4) == 1 && family.find(_._4).get._1 == 0L)
+    assert(out.find(_._1 == 99L).get._2 == 99L)
+  }
+
   test("split assignment is a pure function of the id — partitioning-proof") {
     import graft.ops.Sampling
     val corpus = (0L until 1000L).map(i => (i, s"doc $i")).toDF("doc_id", "text")

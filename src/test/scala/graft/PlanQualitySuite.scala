@@ -142,4 +142,35 @@ class PlanQualitySuite extends SparkFunSuite {
     assert(plan.contains("Scan ExistingRDD") || plan.contains("LocalTableScan"),
       plan.take(2000))
   }
+
+  test("q48 IVF search: probe side broadcasts — the corpus never shuffles before the join") {
+    import org.apache.spark.sql.functions.col
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+    val cents = graft.ops.Ivf.train(emb, k = 4, iters = 1)(spark)
+    val plan = planOf(graft.ops.Ivf.search(
+      graft.ops.Ivf.index(emb, cents)(spark), cents,
+      emb.filter(col("vec_id") < 3), k = 3, nprobe = 2)(spark))
+    assert(plan.contains("BroadcastHashJoin"), plan.take(3000))
+    // the only Exchange is the top-k window over candidates, not a
+    // corpus-side shuffle feeding the join
+    val joinIdx = plan.indexOf("BroadcastHashJoin")
+    assert(!plan.substring(joinIdx).contains("Exchange hashpartitioning"),
+      "corpus side of the IVF probe join is being shuffled")
+  }
+
+  test("q51 split assignment: UDF-free narrow projection, zero exchanges") {
+    val plan = planOf(SparkEntry.queries("q51_split_assign")(spark, dir))
+    assert(!plan.contains("BatchEvalPython") && !plan.contains("ScalaUDF"),
+      "split assignment must stay pure Catalyst expressions")
+    assert(!plan.contains("Exchange"), "split assignment must not shuffle")
+  }
+
+  test("q49 windowed events: partial+final aggregation around one exchange") {
+    val plan = planOf(SparkEntry.queries("q49_events_windowed")(spark, dir))
+    assert("HashAggregate".r.findAllIn(plan).size >= 2, "no partial aggregation")
+    // formatted mode prints each operator twice (tree + details): one
+    // physical Exchange == one "(n) Exchange" detail header
+    assert(plan.linesIterator.count(_.matches("""\(\d+\) Exchange\s*""")) == 1,
+      plan.take(2000))
+  }
 }

@@ -167,6 +167,27 @@ class Round4Suite extends SparkFunSuite {
     assert(vi.count() == 5L)
   }
 
+  test("VectorIndex: IVF layout serves the same neighbors as brute force") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-vi-ivf").toString
+    val store = new graft.store.SnapshotStore(dir)
+    val vi = new graft.query.VectorIndex(store, "vecs")
+    // two well-separated families of vectors
+    val rows = (0 until 12).map { i =>
+      val fam = i % 2
+      (s"v$i", Seq.tabulate(6)(d =>
+        (if (d / 3 == fam) 1.0f else 0.0f) + i * 0.001f))
+    }
+    vi.upsert(rows.toDF("id", "embedding"))
+    val ivf = vi.buildIvf(nClusters = 2, iters = 3)
+    val queries = rows.take(2).toDF("id", "embedding")
+    val got = vi.searchIvf(ivf, queries, k = 3, nprobe = 1)
+      .select("query_id", "neighbor_id").as[(String, String)].collect().toSet
+    val exact = graft.ops.Similarity.bruteForceTopK(vi.read(), queries, k = 3,
+      idCol = "id", vecCol = "embedding")
+      .select("query_id", "neighbor_id").as[(String, String)].collect().toSet
+    assert(got == exact, s"IVF ${got} vs exact ${exact}")
+  }
+
   // ---- canonicalMap through star CC --------------------------------------
 
   test("connectedComponentsAuto: shallow graph stays on min-label; deep chain escalates to star") {
