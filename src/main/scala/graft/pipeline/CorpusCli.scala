@@ -1,0 +1,95 @@
+package graft.pipeline
+
+import graft.ops.{Dedup, Ivf, Sampling, TextAnalysis}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** spark-submit surface for the training-data operators — the corpus-side
+  * sibling of [[GraftCli]] (which serves the committed KG warehouse).
+  * Inputs are parquet tables of the documented shapes (`documents`:
+  * doc_id/text/…, `embeddings`: vec_id/embedding); outputs are parquet
+  * plus ONE JSON summary line on stdout.
+  *
+  *   CorpusCli dedup-exact    <docs.parquet> <out>
+  *   CorpusCli dedup-clusters <docs.parquet> <out> [minEstJaccard]
+  *   CorpusCli split          <docs.parquet> <out> [trainPm] [valPm] [salt]
+  *   CorpusCli quality        <docs.parquet> <out>
+  *   CorpusCli ann            <emb.parquet> <queries.parquet> <out> [k] [nprobe]
+  *
+  * Every command is a straight mapping onto one `graft.ops` operator, so
+  * the CLI adds no semantics — it only binds IO.
+  */
+object CorpusCli {
+
+  /** Run one command; returns the summary lines. Split from main so tests
+    * drive it in-process against a shared session.
+    */
+  def run(args: Seq[String], spark: SparkSession): Seq[String] = {
+    implicit val s: SparkSession = spark
+    require(args.nonEmpty,
+      "usage: CorpusCli dedup-exact|dedup-clusters|split|quality|ann ...")
+
+    def write(df: DataFrame, out: String): Long = {
+      df.write.mode("overwrite").parquet(out)
+      spark.read.parquet(out).count()
+    }
+    def summary(cmd: String, out: String, n: Long): Seq[String] =
+      Seq(s"""{"command":"$cmd","rows":$n,"out":"$out"}""")
+
+    args.head match {
+      case "dedup-exact" =>
+        val Seq(in, out) = args.slice(1, 3)
+        summary("dedup-exact", out, write(Dedup.exact(spark.read.parquet(in)), out))
+
+      case "dedup-clusters" =>
+        val Seq(in, out) = args.slice(1, 3)
+        val minEst = if (args.length > 3) args(3).toDouble else 0.5
+        summary("dedup-clusters", out,
+          write(Dedup.dedupClusters(spark.read.parquet(in), minEst), out))
+
+      case "split" =>
+        val Seq(in, out) = args.slice(1, 3)
+        val train = if (args.length > 3) args(3).toInt else 900
+        val dev = if (args.length > 4) args(4).toInt else 50
+        val salt = if (args.length > 5) args(5) else "graft"
+        summary("split", out,
+          write(Sampling.assignSplits(spark.read.parquet(in), "doc_id", salt, train, dev), out))
+
+      case "quality" =>
+        val Seq(in, out) = args.slice(1, 3)
+        val docs = spark.read.parquet(in)
+        val scored = TextAnalysis.quality(docs)
+          .join(TextAnalysis.langId(docs).select(col("doc_id"), col("predicted_lang")),
+            Seq("doc_id"))
+        summary("quality", out, write(scored, out))
+
+      case "ann" =>
+        val Seq(in, queries, out) = args.slice(1, 4)
+        val k = if (args.length > 4) args(4).toInt else 10
+        val nprobe = if (args.length > 5) args(5).toInt else 4
+        summary("ann", out,
+          write(Ivf.ivfTopK(spark.read.parquet(in), spark.read.parquet(queries),
+            k = k, nprobe = nprobe), out))
+
+      case other =>
+        throw new IllegalArgumentException(
+          s"unknown command '$other' (dedup-exact|dedup-clusters|split|quality|ann)")
+    }
+  }
+
+  def main(args: Array[String]): Unit = {
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .appName("graft-corpus")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.icu.caseMappings.enabled", "false")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    try run(args.toSeq, spark).foreach(println)
+    finally spark.stop()
+  }
+}

@@ -1,0 +1,54 @@
+package graft
+
+import graft.pipeline.CorpusCli
+
+/** CorpusCli drives each training-data operator end-to-end against
+  * parquet in/out — the spark-submit path, in-process.
+  */
+class CorpusCliSuite extends SparkFunSuite {
+  import spark.implicits._
+
+  private lazy val dir = {
+    val d = java.nio.file.Files.createTempDirectory("graft-corpus-cli").toString
+    Seq(
+      (0L, "the quick brown fox jumps over the lazy dog near the river bank today", "en", 70L),
+      (1L, "the quick brown fox jumps over the lazy dog near the river bank today", "en", 70L),
+      (2L, "completely different content about spark shuffle partitions and joins", "en", 69L)
+    ).toDF("doc_id", "text", "lang", "n_chars")
+      .write.mode("overwrite").parquet(s"$d/docs")
+    (0L until 8L).map(i => (i, Seq.tabulate(4)(d => if (d == (i % 2).toInt) 1.0f else 0.1f * i)))
+      .toDF("vec_id", "embedding").write.mode("overwrite").parquet(s"$d/emb")
+    d
+  }
+
+  test("dedup-clusters command clusters the exact dups") {
+    val out = CorpusCli.run(Seq("dedup-clusters", s"$dir/docs", s"$dir/clusters"), spark)
+    assert(out.head.contains("\"rows\":3"), out.head)
+    val keep = spark.read.parquet(s"$dir/clusters")
+      .filter($"keep").select("doc_id").as[Long].collect().toSet
+    assert(keep == Set(0L, 2L))
+  }
+
+  test("split command writes stable assignments") {
+    val out = CorpusCli.run(Seq("split", s"$dir/docs", s"$dir/splits", "500", "250"), spark)
+    assert(out.head.contains("\"rows\":3"), out.head)
+    val splits = spark.read.parquet(s"$dir/splits")
+      .select("doc_id", "split").as[(Long, String)].collect().toMap
+    assert(splits.size == 3 && splits.values.forall(Set("train", "val", "test")))
+  }
+
+  test("quality command joins scores with language id") {
+    CorpusCli.run(Seq("quality", s"$dir/docs", s"$dir/quality"), spark)
+    val cols = spark.read.parquet(s"$dir/quality").columns.toSet
+    assert(Set("doc_id", "n_tokens", "len_bucket", "predicted_lang").subsetOf(cols), cols)
+  }
+
+  test("ann command serves IVF neighbors") {
+    // 8 vectors under the default 16 centroids → every vector is its own
+    // cluster; nprobe=4 probes the 3 nearest foreign clusters too
+    CorpusCli.run(Seq("ann", s"$dir/emb", s"$dir/emb", s"$dir/ann", "2", "4"), spark)
+    val res = spark.read.parquet(s"$dir/ann")
+    assert(res.count() > 0)
+    assert(res.columns.toSet == Set("query_id", "neighbor_id", "cosine", "rank"))
+  }
+}

@@ -72,6 +72,37 @@ class PropertySuite extends AnyFunSuite {
     })
   }
 
+  test("Ivf.nearestClusters: distinct in-range indices, ranked by cosine with id tie-break") {
+    val vecGen = Gen.choose(2, 6).flatMap(d =>
+      Gen.listOfN(d, Gen.choose(-5, 5).map(_.toFloat)))
+    val centsGen = Gen.choose(1, 6).flatMap { k =>
+      vecGen.flatMap(first => Gen.listOfN(k, Gen.listOfN(first.length,
+        Gen.choose(-5, 5).map(_.toFloat))))
+    }
+    check(Prop.forAll(centsGen, Gen.choose(1, 8)) { (cents, n) =>
+      val arr = cents.map(_.toArray).toArray
+      val q = cents.head // query with the first centroid's dimension
+      val got = graft.ops.Ivf.nearestClusters(arr, q, n)
+      val distinct = got.distinct == got
+      val inRange = got.forall(i => i >= 0 && i < arr.length)
+      val size = got.size == math.min(n, arr.length)
+      // ranking invariant: successive picks never have strictly higher
+      // cosine later (ties broken by index)
+      def cos(c: Array[Float]): Double = {
+        val dot = q.zip(c).map { case (a, b) => a.toDouble * b }.sum
+        val na = math.sqrt(q.map(x => x.toDouble * x).sum)
+        val nb = math.sqrt(c.map(x => x.toDouble * x).sum)
+        if (na == 0 || nb == 0) 0.0 else dot / (na * nb)
+      }
+      val ranked = got.sliding(2).forall {
+        case Seq(a, b) => cos(arr(a)) > cos(arr(b)) ||
+          (cos(arr(a)) == cos(arr(b)) && a < b)
+        case _ => true
+      }
+      distinct && inRange && size && ranked
+    })
+  }
+
   test("extraction triples only reference extracted mention names") {
     val entityGen = Gen.oneOf(graft.fixtures.PagesGen.allEntities)
     val verbGen = Gen.oneOf(graft.fixtures.PagesGen.verbs)
