@@ -338,6 +338,20 @@ object SparkEntry {
     "q51_split_assign" -> ((s, dir) =>
       graft.ops.Sampling.assignSplits(t(s, dir, "documents"))
         .select("doc_id", "bucket", "split")),
+    "q53_pack_shards" -> ((s, dir) =>
+      graft.ops.Sampling.packShards(
+        t(s, dir, "documents")
+          .select(col("doc_id"), TextAnalysis.tokenCount(col("text")).as("n_tokens")),
+        tokenBudget = 1000L, nBuckets = 50)),
+    "q52_decontaminate" -> ((s, dir) => {
+      implicit val sp = s
+      // simulated eval set: every 7th document re-keyed — contamination
+      // hits are its identical source (est 1.0) plus true near-dups
+      val docs = t(s, dir, "documents")
+      val bench = docs.filter(col("doc_id") % 7 === 0)
+        .withColumn("doc_id", col("doc_id") + 1000000L)
+      Dedup.crossContamination(docs, bench)
+    }),
     "q20_dedup_ngram" -> ((s, dir) => {
       implicit val sp = s
       Dedup.ngramJaccard(t(s, dir, "documents"), threshold = 0.5)
@@ -885,6 +899,50 @@ object SparkEntry {
     "q18_dedup_minhash" -> minhashOracleSql,
     "q19_dedup_simhash" -> simhashOracleSql,
     "q50_dedup_clusters" -> dedupClustersOracleSql,
+    "q53_pack_shards" ->
+      // fixture-free: q12's token count + the md5 bucket + a window
+      // prefix-sum reproduce the packing layout exactly
+      """WITH tk AS (SELECT doc_id,
+        |    CASE WHEN length(trim(text)) = 0 THEN 0
+        |         ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS n_tokens
+        |  FROM documents),
+        |b AS (SELECT doc_id, n_tokens,
+        |    CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':graft-pack'), 1, 8))
+        |         AS BIGINT) % 50 AS bucket
+        |  FROM tk),
+        |p AS (SELECT doc_id, n_tokens, bucket,
+        |    COALESCE(SUM(LEAST(n_tokens, 1000)) OVER (
+        |      PARTITION BY bucket ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS tok_before
+        |  FROM b)
+        |SELECT doc_id, bucket * 4294967296 + tok_before // 1000 AS shard_id,
+        |  n_tokens
+        |FROM p""".stripMargin,
+    "q52_decontaminate" ->
+      // benchmark banding re-derived by RE-KEYING the corpus banding —
+      // the eval set's text (hence sigs, hence buckets) is identical to
+      // its source docs by construction; corpus buckets capped, benchmark
+      // side never dropped, exactly like the operator
+      s"""WITH sigs AS (SELECT doc_id AS id, sig
+         |  FROM read_parquet('$FixturesDir/minhash_sigs/*.parquet')),
+         |banded AS (
+         |  SELECT id, sig, b.band,
+         |    concat_ws(':', sig[b.band*4+1], sig[b.band*4+2],
+         |              sig[b.band*4+3], sig[b.band*4+4]) AS bucket
+         |  FROM sigs, (SELECT unnest(range(0,8)) AS band) b),
+         |csz AS (SELECT band, bucket, count(*) AS bn FROM banded GROUP BY 1, 2),
+         |ckept AS (SELECT banded.* FROM banded JOIN csz USING (band, bucket)
+         |          WHERE bn <= 10000),
+         |bb AS (SELECT id + 1000000 AS benchmark_id, band, bucket, sig
+         |       FROM banded WHERE id % 7 = 0),
+         |est AS (SELECT c.id AS corpus_id, bb.benchmark_id,
+         |    len(list_filter(range(1, 33), i -> c.sig[i] = bb.sig[i]))
+         |      / CAST(32 AS DOUBLE) AS ej
+         |  FROM ckept c JOIN bb USING (band, bucket)),
+         |agg AS (SELECT corpus_id, benchmark_id, max(ej) AS est_jaccard
+         |        FROM est GROUP BY 1, 2)
+         |SELECT corpus_id, benchmark_id, est_jaccard FROM agg
+         |WHERE est_jaccard >= 0.5""".stripMargin,
     "q51_split_assign" ->
       // fixture-free: md5 is md5 in both engines; hex→int via conv /
       // CAST('0x…'), mod 1000, same CASE cut

@@ -244,6 +244,42 @@ object Dedup {
       .select("id_a", "id_b", "cosine")
   }
 
+  /** Cross-corpus contamination check (decontamination): corpus documents
+    * whose text is a near-duplicate of a benchmark/eval document — the
+    * train/test-leakage scan every training-data pipeline runs before a
+    * corpus ships. Same minhash banding as [[minhashLsh]] but as a
+    * TWO-TABLE bucketed join (corpus × benchmark), not a self-join: the
+    * benchmark side is typically tiny and the corpus streams through the
+    * band-bucket join touching only colliding buckets. Buckets are capped
+    * on the corpus side only (skew guard, loud) — benchmark buckets are
+    * never dropped, a benchmark doc that collides everywhere is exactly
+    * the one to report. Output: (corpus_id, benchmark_id, est_jaccard ≥
+    * threshold), max over bands.
+    */
+  def crossContamination(
+      corpus: DataFrame,
+      benchmark: DataFrame,
+      minEstJaccard: Double = 0.5,
+      idCol: String = "doc_id",
+      bucketCap: Long = 10000L
+  )(implicit spark: SparkSession): DataFrame = {
+    val (c, droppedB) = capBuckets(minhashBanded(corpus, idCol),
+      Seq("band", "bucket"), bucketCap)
+    logDropped("crossContamination", droppedB)
+    val b = minhashBanded(benchmark, idCol)
+    val simUdf = udf { (x: Seq[Long], y: Seq[Long]) =>
+      x.zip(y).count { case (u, v) => u == v }.toDouble / NumHashes
+    }
+    c.select(col("band"), col("bucket"), col("id").as("corpus_id"), col("sig").as("sig_c"))
+      .join(b.select(col("band"), col("bucket"), col("id").as("benchmark_id"),
+        col("sig").as("sig_b")), Seq("band", "bucket"))
+      .select(col("corpus_id"), col("benchmark_id"),
+        simUdf(col("sig_c"), col("sig_b")).as("est_jaccard"))
+      .groupBy("corpus_id", "benchmark_id")
+      .agg(max("est_jaccard").as("est_jaccard"))
+      .filter(col("est_jaccard") >= minEstJaccard)
+  }
+
   /** Near-dup CLUSTER resolution — what a training-data pipeline actually
     * consumes: pairwise candidates only say "these two are similar";
     * keeping one copy per duplicate *group* needs the transitive closure

@@ -17,13 +17,15 @@ import org.apache.spark.sql.functions._
   */
 object Sampling {
 
-  /** Stable per-row bucket in [0, 1000): first 8 hex digits of
-    * `md5(id ":" salt)` as an integer, mod 1000. The salt decorrelates
-    * independent splits/samples over the same corpus.
+  /** Stable per-row bucket in [0, n): first 8 hex digits of
+    * `md5(id ":" salt)` as an integer, mod n. The salt decorrelates
+    * independent splits/samples/packings over the same corpus.
     */
-  def permilleBucket(id: Column, salt: String): Column =
+  def hashBucket(id: Column, salt: String, n: Int): Column =
     conv(substring(md5(concat(id.cast("string"), lit(":" + salt))), 1, 8), 16, 10)
-      .cast("long") % 1000
+      .cast("long") % n
+
+  def permilleBucket(id: Column, salt: String): Column = hashBucket(id, salt, 1000)
 
   /** train/val/test assignment: buckets [0, train) → "train",
     * [train, train+val) → "val", the rest → "test". Emits the bucket so
@@ -57,5 +59,49 @@ object Sampling {
   ): DataFrame = {
     require(permille >= 0 && permille <= 1000, "permille out of [0, 1000]")
     docs.filter(permilleBucket(col(idCol), salt) < permille)
+  }
+
+  /** Pack documents into shards targeting `tokenBudget` tokens
+    * (training-data sequence sharding). A single global greedy pack is a
+    * one-task sequential fold — scale-hostile — so packing runs WITHIN
+    * hash buckets: docs land in a deterministic bucket, a per-bucket
+    * running token sum (window, parallel across buckets) cuts shards on
+    * budget boundaries, and `shard_id = bucket · 2^32 + local_shard`
+    * keeps ids globally unique. The whole layout is a pure function of
+    * (id, n_tokens) — stable across runs and parallelism.
+    *
+    * Packing guarantee (the standard streaming-pack bound, not exact
+    * bin-packing): a doc joins the shard its PREFIX offset falls in, so
+    * a shard's total is < tokenBudget + its last doc — overflow bounded
+    * by one document. Per-doc contributions to the prefix are clamped to
+    * the budget, so one over-budget giant advances the cut by exactly
+    * one window instead of smearing every later boundary. Exact
+    * ≤-budget packing would be a sequential scan; this keeps it
+    * embarrassingly parallel.
+    */
+  def packShards(
+      docs: DataFrame,
+      tokenBudget: Long,
+      nBuckets: Int = 1000,
+      idCol: String = "doc_id",
+      tokensCol: String = "n_tokens",
+      salt: String = "graft-pack"
+  ): DataFrame = {
+    require(tokenBudget > 0, "tokenBudget must be positive")
+    require(nBuckets > 0, "nBuckets must be positive")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("__bucket"))
+      .orderBy(col(idCol))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    docs
+      .withColumn("__bucket", hashBucket(col(idCol), salt, nBuckets))
+      // tokens BEFORE this doc in its bucket → the shard this doc starts
+      // in; a doc is never split across shards
+      .withColumn("__before",
+        coalesce(sum(least(col(tokensCol).cast("long"), lit(tokenBudget))).over(w), lit(0L)))
+      .select(col(idCol),
+        (col("__bucket").cast("long") * lit(1L << 32) +
+          (col("__before") / tokenBudget).cast("long")).as("shard_id"),
+        col(tokensCol))
   }
 }

@@ -12,7 +12,9 @@ import org.apache.spark.sql.functions._
   *
   *   CorpusCli dedup-exact    <docs.parquet> <out>
   *   CorpusCli dedup-clusters <docs.parquet> <out> [minEstJaccard]
+  *   CorpusCli decontaminate  <docs.parquet> <benchmark.parquet> <out> [minEstJaccard]
   *   CorpusCli split          <docs.parquet> <out> [trainPm] [valPm] [salt]
+  *   CorpusCli pack           <docs.parquet> <out> [tokenBudget] [nBuckets]
   *   CorpusCli quality        <docs.parquet> <out>
   *   CorpusCli ann            <emb.parquet> <queries.parquet> <out> [k] [nprobe]
   *
@@ -47,6 +49,13 @@ object CorpusCli {
         summary("dedup-clusters", out,
           write(Dedup.dedupClusters(spark.read.parquet(in), minEst), out))
 
+      case "decontaminate" =>
+        val Seq(in, bench, out) = args.slice(1, 4)
+        val minEst = if (args.length > 4) args(4).toDouble else 0.5
+        summary("decontaminate", out,
+          write(Dedup.crossContamination(
+            spark.read.parquet(in), spark.read.parquet(bench), minEst), out))
+
       case "split" =>
         val Seq(in, out) = args.slice(1, 3)
         val train = if (args.length > 3) args(3).toInt else 900
@@ -54,6 +63,14 @@ object CorpusCli {
         val salt = if (args.length > 5) args(5) else "graft"
         summary("split", out,
           write(Sampling.assignSplits(spark.read.parquet(in), "doc_id", salt, train, dev), out))
+
+      case "pack" =>
+        val Seq(in, out) = args.slice(1, 3)
+        val budget = if (args.length > 3) args(3).toLong else 4096L
+        val buckets = if (args.length > 4) args(4).toInt else 1000
+        val withTokens = spark.read.parquet(in)
+          .select(col("doc_id"), TextAnalysis.tokenCount(col("text")).as("n_tokens"))
+        summary("pack", out, write(Sampling.packShards(withTokens, budget, buckets), out))
 
       case "quality" =>
         val Seq(in, out) = args.slice(1, 3)
@@ -73,7 +90,8 @@ object CorpusCli {
 
       case other =>
         throw new IllegalArgumentException(
-          s"unknown command '$other' (dedup-exact|dedup-clusters|split|quality|ann)")
+          s"unknown command '$other' " +
+            "(dedup-exact|dedup-clusters|decontaminate|split|pack|quality|ann)")
     }
   }
 

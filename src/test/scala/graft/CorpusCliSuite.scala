@@ -29,12 +29,27 @@ class CorpusCliSuite extends SparkFunSuite {
     assert(keep == Set(0L, 2L))
   }
 
+  test("decontaminate command reports cross-corpus hits") {
+    Seq((50L, "the quick brown fox jumps over the lazy dog near the river bank today"))
+      .toDF("doc_id", "text").write.mode("overwrite").parquet(s"$dir/bench")
+    val out = CorpusCli.run(
+      Seq("decontaminate", s"$dir/docs", s"$dir/bench", s"$dir/contam"), spark)
+    assert(out.head.contains("\"rows\":2"), out.head) // docs 0 and 1 hit
+  }
+
   test("split command writes stable assignments") {
     val out = CorpusCli.run(Seq("split", s"$dir/docs", s"$dir/splits", "500", "250"), spark)
     assert(out.head.contains("\"rows\":3"), out.head)
     val splits = spark.read.parquet(s"$dir/splits")
       .select("doc_id", "split").as[(Long, String)].collect().toMap
     assert(splits.size == 3 && splits.values.forall(Set("train", "val", "test")))
+  }
+
+  test("pack command shards by token budget") {
+    val out = CorpusCli.run(Seq("pack", s"$dir/docs", s"$dir/shards", "10", "3"), spark)
+    assert(out.head.contains("\"rows\":3"), out.head)
+    val cols = spark.read.parquet(s"$dir/shards").columns.toSet
+    assert(cols == Set("doc_id", "shard_id", "n_tokens"))
   }
 
   test("quality command joins scores with language id") {

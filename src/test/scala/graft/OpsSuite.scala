@@ -60,6 +60,20 @@ class OpsSuite extends SparkFunSuite {
     assert(out.find(_._1 == 99L).get._2 == 99L)
   }
 
+  test("decontamination flags corpus docs matching the benchmark, nothing else") {
+    // benchmark holds a verbatim copy of doc 0 (re-keyed 100) and an
+    // unseen doc (101): doc 0, its exact dup 1, and near-dup 2 must all
+    // flag against 100; nothing flags against 101
+    val bench = Seq(
+      (100L, "the quick brown fox jumps over the lazy dog near the river bank today"),
+      (101L, "an entirely novel benchmark question no corpus document resembles at all")
+    ).toDF("doc_id", "text")
+    val hits = Dedup.crossContamination(docs, bench)
+      .as[(Long, Long, Double)].collect()
+    assert(hits.map(h => (h._1, h._2)).toSet == Set((0L, 100L), (1L, 100L), (2L, 100L)), hits.toSeq)
+    assert(hits.filter(h => h._1 <= 1L).forall(_._3 == 1.0))
+  }
+
   test("split assignment is a pure function of the id — partitioning-proof") {
     import graft.ops.Sampling
     val corpus = (0L until 1000L).map(i => (i, s"doc $i")).toDF("doc_id", "text")
@@ -78,6 +92,23 @@ class OpsSuite extends SparkFunSuite {
     val s1 = Sampling.sample(corpus, 100).select("doc_id").as[Long].collect().toSet
     val s2 = Sampling.sample(corpus.coalesce(1), 100).select("doc_id").as[Long].collect().toSet
     assert(s1 == s2 && s1.size > 60 && s1.size < 150)
+  }
+
+  test("packShards: deterministic bucket packing with the one-doc overflow bound") {
+    import graft.ops.Sampling
+    val corpus = (0L until 300L).map(i => (i, 1 + (i % 97).toInt))
+      .toDF("doc_id", "n_tokens")
+    val a = Sampling.packShards(corpus, 100L, nBuckets = 7)
+      .as[(Long, Long, Int)].collect().sortBy(_._1)
+    val b = Sampling.packShards(corpus.repartition(5), 100L, nBuckets = 7)
+      .as[(Long, Long, Int)].collect().sortBy(_._1)
+    assert(a.toSeq == b.toSeq)
+    assert(a.length == 300 && a.map(_._1).distinct.length == 300)
+    // each shard: < budget + its largest doc (clamped streaming bound)
+    val byShard = a.groupBy(_._2).values
+    assert(byShard.forall(s => s.map(_._3.toLong).sum < 100L + s.map(_._3).max))
+    // the bucket id is recoverable from the shard id
+    assert(a.forall { case (_, shard, _) => (shard >> 32) < 7 })
   }
 
   test("simhash: identical docs at hamming 0; unrelated docs far") {
