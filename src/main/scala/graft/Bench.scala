@@ -77,6 +77,27 @@ object Bench {
       "\"" + k + "\":" + runs.map(v => f"$v%.3f").mkString("[", ",", "]")
     }.mkString("{", ",", "}")
 
+    // --- ANN planted-duplicate recall: every 10th vector has a perturbed
+    // copy at cosine ≈ 0.9999 (the q21 corpus); an ANN serving path must
+    // put the source in the copy's top-5. Brute force is 1.0 by
+    // construction — LSH and IVF are the measured operators. (Recall vs
+    // exact top-5 on RANDOM vectors is meaningless — no cluster
+    // structure — so the planted metric is the operational one.)
+    val annRecall = {
+      import graft.ops.{Ivf, Similarity}
+      val corpus = SparkEntry.withNearDups(spark, sfDir)
+      val planted = corpus.filter(org.apache.spark.sql.functions.col("vec_id") >= 1000000L)
+      val nPlanted = planted.count()
+      def hitRate(res: org.apache.spark.sql.DataFrame): Double =
+        res.filter(org.apache.spark.sql.functions.col("neighbor_id") ===
+            org.apache.spark.sql.functions.col("query_id") - 1000000L)
+          .select("query_id").distinct().count().toDouble / nPlanted
+      val lsh = hitRate(Similarity.lshTopK(corpus, planted, k = 5))
+      val ivf = hitRate(Ivf.ivfTopK(corpus, planted, k = 5, nClusters = 16,
+        iters = 5, nprobe = 4))
+      f""""ann_planted_recall":{"n_queries":$nPlanted,"lsh":$lsh%.4f,"ivf":$ivf%.4f}"""
+    }
+
     // --- retrieval quality (A9): hybrid vs vec-only on the auth corpus ---
     val evalResults = graft.query.Eval.compare(k = 5)
     val evalJson = evalResults.toSeq.sortBy(_._1)
@@ -94,7 +115,7 @@ object Bench {
         f""","kg_wall_sec":$kgWall%.2f,"docs_per_sec":${kgDocs / kgWall}%.1f""" +
         f""","triples_per_sec":${kgTriples / kgWall}%.1f,"cpus":$cpus""" +
         s""","bench_reps":$reps,"queries_runs":$qsRaw""" +
-        s""","retrieval_eval":$evalJson,"errors":$errJson}"""
+        s""","retrieval_eval":$evalJson,$annRecall,"errors":$errJson}"""
     println(json)
     // machine-readable copy — sbt prefixes stdout with [info], which breaks
     // the driver's JSON parse of the log tail

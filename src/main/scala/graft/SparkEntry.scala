@@ -195,7 +195,7 @@ object SparkEntry {
     else (v.head + 0.01f) +: v.tail
   }
 
-  private def withNearDups(s: SparkSession, dir: String): DataFrame = {
+  private[graft] def withNearDups(s: SparkSession, dir: String): DataFrame = {
     val emb = t(s, dir, "embeddings")
     val dups = emb.filter(col("vec_id") % 10 === 0)
       .select((col("vec_id") + 1000000L).as("vec_id"),
@@ -338,6 +338,19 @@ object SparkEntry {
     "q51_split_assign" -> ((s, dir) =>
       graft.ops.Sampling.assignSplits(t(s, dir, "documents"))
         .select("doc_id", "bucket", "split")),
+    "q54_repetition" -> ((s, dir) =>
+      TextAnalysis.repetition(t(s, dir, "documents"))),
+    "q55_shared_grams" -> ((s, dir) =>
+      graft.ops.Curation.sharedGramStats(t(s, dir, "documents"))),
+    "q56_source_caps" -> ((s, dir) =>
+      graft.ops.Curation.capPerSourceVerified(t(s, dir, "documents"),
+        maxPerSource = 10)),
+    "q57_unigram_rarity" -> ((s, dir) =>
+      graft.ops.Curation.unigramRarity(t(s, dir, "documents"))),
+    "q58_pattern_signals" -> ((s, dir) =>
+      graft.ops.Curation.patternSignals(t(s, dir, "documents"))),
+    "q59_curate" -> ((s, dir) =>
+      graft.ops.Curation.curate(t(s, dir, "documents"))),
     "q53_pack_shards" -> ((s, dir) =>
       graft.ops.Sampling.packShards(
         t(s, dir, "documents")
@@ -899,6 +912,183 @@ object SparkEntry {
     "q18_dedup_minhash" -> minhashOracleSql,
     "q19_dedup_simhash" -> simhashOracleSql,
     "q50_dedup_clusters" -> dedupClustersOracleSql,
+    "q54_repetition" ->
+      // fixture-free: word 3-grams via list lambdas, duplicate fraction
+      // and top-gram share from a per-(doc, gram) count; docs shorter
+      // than 3 words come back as all-zero rows via the left join
+      """WITH w AS (SELECT doc_id,
+        |    CASE WHEN length(trim(text)) = 0 THEN []
+        |         ELSE regexp_split_to_array(trim(text), '\s+') END AS ws
+        |  FROM documents),
+        |g AS (SELECT doc_id,
+        |    CASE WHEN len(ws) < 3 THEN []
+        |         ELSE list_transform(range(1, len(ws) - 1),
+        |                i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]) END AS grams
+        |  FROM w),
+        |u AS (SELECT doc_id, unnest(grams) AS gram FROM g),
+        |tc AS (SELECT doc_id, gram, count(*) AS c FROM u GROUP BY 1, 2),
+        |s AS (SELECT doc_id, CAST(sum(c) AS INT) AS n_grams,
+        |        CAST(count(*) AS INT) AS n_distinct, CAST(max(c) AS INT) AS top
+        |      FROM tc GROUP BY 1)
+        |SELECT g.doc_id,
+        |  COALESCE(s.n_grams, 0) AS n_grams,
+        |  COALESCE(s.n_distinct, 0) AS n_distinct,
+        |  CASE WHEN s.n_grams IS NULL THEN 0.0
+        |       ELSE 1.0 - CAST(s.n_distinct AS DOUBLE) / CAST(s.n_grams AS DOUBLE)
+        |  END AS dup_fraction,
+        |  CASE WHEN s.n_grams IS NULL THEN 0.0
+        |       ELSE CAST(s.top AS DOUBLE) / CAST(s.n_grams AS DOUBLE)
+        |  END AS top_share
+        |FROM g LEFT JOIN s USING (doc_id)""".stripMargin,
+    "q55_shared_grams" ->
+      // fixture-free: the oracle groups the gram STRINGS (no hashing) —
+      // a q55 match therefore also witnesses xxhash64 collision-freedom
+      // at this scale
+      """WITH w AS (SELECT doc_id,
+        |    CASE WHEN length(trim(text)) = 0 THEN []
+        |         ELSE regexp_split_to_array(trim(text), '\s+') END AS ws
+        |  FROM documents),
+        |g AS (SELECT doc_id,
+        |    CASE WHEN len(ws) < 3 THEN []
+        |         ELSE list_transform(range(1, len(ws) - 1),
+        |                i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]) END AS grams
+        |  FROM w),
+        |u AS (SELECT DISTINCT doc_id, gram
+        |      FROM (SELECT doc_id, unnest(grams) AS gram FROM g)),
+        |f AS (SELECT gram, count(*) AS df FROM u GROUP BY 1),
+        |p AS (SELECT u.doc_id,
+        |        CAST(count(*) AS INT) AS n_distinct_grams,
+        |        CAST(sum(CASE WHEN f.df >= 2 THEN 1 ELSE 0 END) AS INT) AS n_shared_grams
+        |      FROM u JOIN f USING (gram) GROUP BY 1)
+        |SELECT d.doc_id,
+        |  COALESCE(p.n_distinct_grams, 0) AS n_distinct_grams,
+        |  COALESCE(p.n_shared_grams, 0) AS n_shared_grams,
+        |  CASE WHEN p.n_distinct_grams IS NULL OR p.n_distinct_grams = 0 THEN 0.0
+        |       ELSE CAST(p.n_shared_grams AS DOUBLE) / CAST(p.n_distinct_grams AS DOUBLE)
+        |  END AS shared_fraction
+        |FROM documents d LEFT JOIN p USING (doc_id)""".stripMargin,
+    "q56_source_caps" ->
+      // fixture-free: row_number over the same salted-md5 order; the
+      // operator's hash-prefix pre-filter is provably rank-preserving so
+      // the naive SQL and the scale-safe plan agree exactly
+      """SELECT doc_id, source, CAST(src_rank AS INT) AS src_rank FROM (
+        |  SELECT doc_id, source,
+        |    row_number() OVER (PARTITION BY source
+        |      ORDER BY md5(CAST(doc_id AS VARCHAR) || ':graft'), doc_id) AS src_rank
+        |  FROM documents) WHERE src_rank <= 10""".stripMargin,
+    "q57_unigram_rarity" ->
+      // fixture-free: integer tf×vocab sums + one final division — no
+      // float accumulation anywhere, so partial aggregation order is moot
+      """WITH w AS (SELECT doc_id, unnest(
+        |    CASE WHEN length(trim(text)) = 0 THEN []
+        |         ELSE regexp_split_to_array(trim(text), '\s+') END) AS w
+        |  FROM documents),
+        |tf AS (SELECT doc_id, w, count(*) AS tf FROM w GROUP BY 1, 2),
+        |v AS (SELECT w, sum(tf) AS wc FROM tf GROUP BY 1),
+        |p AS (SELECT tf.doc_id,
+        |        CAST(sum(tf.tf) AS INT) AS n_tokens,
+        |        CAST(sum(CASE WHEN v.wc <= 2 THEN tf.tf ELSE 0 END) AS INT) AS n_rare,
+        |        sum(tf.tf * v.wc) AS freq_mass
+        |      FROM tf JOIN v USING (w) GROUP BY 1)
+        |SELECT d.doc_id,
+        |  COALESCE(p.n_tokens, 0) AS n_tokens,
+        |  COALESCE(p.n_rare, 0) AS n_rare,
+        |  CASE WHEN p.n_tokens IS NULL OR p.n_tokens = 0 THEN 0.0
+        |       ELSE CAST(p.n_rare AS DOUBLE) / CAST(p.n_tokens AS DOUBLE)
+        |  END AS rare_fraction,
+        |  CASE WHEN p.n_tokens IS NULL OR p.n_tokens = 0 THEN 0.0
+        |       ELSE CAST(p.freq_mass AS DOUBLE) / CAST(p.n_tokens AS DOUBLE)
+        |  END AS avg_token_freq
+        |FROM documents d LEFT JOIN p USING (doc_id)""".stripMargin,
+    "q58_pattern_signals" ->
+      // fixture-free: patterns avoid Java-vs-RE2 divergence points; note
+      // DuckDB regexp_replace needs the 'g' flag Spark applies by default
+      """SELECT doc_id,
+        |  CAST(len(regexp_extract_all(text,
+        |    '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}')) AS INT) AS n_emails,
+        |  CAST(len(regexp_extract_all(text, 'https?://[^ ]+')) AS INT) AS n_urls,
+        |  CAST(length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS INT)
+        |    AS n_digits,
+        |  CASE WHEN length(text) = 0 THEN 0.0
+        |       ELSE CAST(length(text) - length(regexp_replace(text, '[0-9]', '', 'g'))
+        |              AS DOUBLE) / CAST(length(text) AS DOUBLE)
+        |  END AS digit_fraction
+        |FROM documents""".stripMargin,
+    "q59_curate" ->
+      // fixture-free COMPOSITION oracle: the q13/q22/q54/q55/q57/q56
+      // signal derivations inlined as CTEs and conjoined — the whole
+      // curation gate re-decided independently in one SQL statement
+      """WITH ex AS (SELECT doc_id,
+        |    doc_id = min(doc_id) OVER (PARTITION BY md5(text)) AS keep_exact
+        |  FROM documents),
+        |lt AS (SELECT doc_id,
+        |    list_slice(regexp_split_to_array(lower(coalesce(text,'')), '\s+'), 1, 200) AS toks
+        |  FROM documents),
+        |ls AS (SELECT doc_id,
+        |  len(list_filter(['the','and','of','to','in','is','a'], m -> list_contains(toks, m))) AS n_en,
+        |  len(list_filter(['der','die','und','das','ist','nicht','ein'], m -> list_contains(toks, m))) AS n_de,
+        |  len(list_filter(['el','la','de','que','y','los','una'], m -> list_contains(toks, m))) AS n_es,
+        |  len(list_filter(['le','la','les','des','est','une','et'], m -> list_contains(toks, m))) AS n_fr
+        | FROM lt),
+        |lg AS (SELECT doc_id,
+        | CASE WHEN greatest(n_en,n_de,n_es,n_fr) = 0 THEN 'unknown'
+        |      WHEN n_fr >= n_en AND n_fr >= n_de AND n_fr >= n_es THEN 'fr'
+        |      WHEN n_es >= n_en AND n_es >= n_de THEN 'es'
+        |      WHEN n_en >= n_de THEN 'en'
+        |      ELSE 'de' END = 'en' AS lang_ok
+        |FROM ls),
+        |w AS (SELECT doc_id,
+        |    CASE WHEN length(trim(text)) = 0 THEN []
+        |         ELSE regexp_split_to_array(trim(text), '\s+') END AS ws
+        |  FROM documents),
+        |g AS (SELECT doc_id,
+        |    CASE WHEN len(ws) < 3 THEN []
+        |         ELSE list_transform(range(1, len(ws) - 1),
+        |                i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]) END AS grams
+        |  FROM w),
+        |rtc AS (SELECT doc_id, gram, count(*) AS c
+        |        FROM (SELECT doc_id, unnest(grams) AS gram FROM g) GROUP BY 1, 2),
+        |rs AS (SELECT doc_id, sum(c) AS n_grams, count(*) AS n_distinct
+        |       FROM rtc GROUP BY 1),
+        |rep AS (SELECT g.doc_id,
+        |    CASE WHEN rs.n_grams IS NULL THEN 0.0
+        |         ELSE 1.0 - CAST(rs.n_distinct AS DOUBLE) / CAST(rs.n_grams AS DOUBLE)
+        |    END <= 0.05 AS low_repetition
+        |  FROM g LEFT JOIN rs USING (doc_id)),
+        |u AS (SELECT DISTINCT doc_id, gram
+        |      FROM (SELECT doc_id, unnest(grams) AS gram FROM g)),
+        |f AS (SELECT gram, count(*) AS df FROM u GROUP BY 1),
+        |shp AS (SELECT u.doc_id, count(*) AS nd,
+        |         sum(CASE WHEN f.df >= 2 THEN 1 ELSE 0 END) AS ns
+        |       FROM u JOIN f USING (gram) GROUP BY 1),
+        |sh AS (SELECT d.doc_id,
+        |    CASE WHEN shp.nd IS NULL OR shp.nd = 0 THEN 0.0
+        |         ELSE CAST(shp.ns AS DOUBLE) / CAST(shp.nd AS DOUBLE)
+        |    END <= 0.8 AS low_shared
+        |  FROM documents d LEFT JOIN shp USING (doc_id)),
+        |uw AS (SELECT doc_id, unnest(ws) AS w FROM w),
+        |tf AS (SELECT doc_id, w, count(*) AS tf FROM uw GROUP BY 1, 2),
+        |v AS (SELECT w, sum(tf) AS wc FROM tf GROUP BY 1),
+        |rp AS (SELECT tf.doc_id, sum(tf.tf) AS n_tokens,
+        |        sum(CASE WHEN v.wc <= 2 THEN tf.tf ELSE 0 END) AS n_rare
+        |      FROM tf JOIN v USING (w) GROUP BY 1),
+        |rar AS (SELECT d.doc_id,
+        |    CASE WHEN rp.n_tokens IS NULL OR rp.n_tokens = 0 THEN 0.0
+        |         ELSE CAST(rp.n_rare AS DOUBLE) / CAST(rp.n_tokens AS DOUBLE)
+        |    END <= 0.25 AS low_rarity
+        |  FROM documents d LEFT JOIN rp USING (doc_id)),
+        |cap AS (SELECT doc_id, src_rank <= 10 AS within_cap FROM (
+        |  SELECT doc_id,
+        |    row_number() OVER (PARTITION BY source
+        |      ORDER BY md5(CAST(doc_id AS VARCHAR) || ':graft'), doc_id) AS src_rank
+        |  FROM documents))
+        |SELECT d.doc_id, ex.keep_exact, lg.lang_ok, rep.low_repetition,
+        |  rar.low_rarity, sh.low_shared, cap.within_cap,
+        |  ex.keep_exact AND lg.lang_ok AND rep.low_repetition AND
+        |    rar.low_rarity AND sh.low_shared AND cap.within_cap AS kept
+        |FROM documents d
+        |JOIN ex USING (doc_id) JOIN lg USING (doc_id) JOIN rep USING (doc_id)
+        |JOIN rar USING (doc_id) JOIN sh USING (doc_id) JOIN cap USING (doc_id)""".stripMargin,
     "q53_pack_shards" ->
       // fixture-free: q12's token count + the md5 bucket + a window
       // prefix-sum reproduce the packing layout exactly

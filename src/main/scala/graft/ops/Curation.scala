@@ -1,0 +1,265 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Corpus-curation operators for a web-scale training-data pipeline —
+  * the cross-document complement of [[TextAnalysis]]'s per-document
+  * signals. Three public-literature filters, each re-expressed as
+  * shuffle-minimal Spark dataflow with an exact DuckDB oracle:
+  *
+  *  - [[sharedGramStats]]: per-doc fraction of word n-grams that occur
+  *    in at least one OTHER document (the signal behind exact-substring
+  *    training-data dedup, Lee et al. 2022 — approximated at n-gram
+  *    granularity so it stays a bounded aggregation instead of a suffix
+  *    array).
+  *  - [[capPerSource]]: deterministic per-source document caps
+  *    (RefinedWeb-style domain balancing), with a provably-exact
+  *    hash-prefix pre-filter so no task ever sorts a whole mega-domain.
+  *  - [[unigramRarity]]: corpus-trained unigram frequency statistics per
+  *    doc (the CCNet idea — an LM-free perplexity proxy). Integer
+  *    counts + single divisions only, so Spark partial aggregation and
+  *    a sequential SQL oracle agree bit-exactly (no float log sums).
+  *
+  * Tokenization matches [[TextAnalysis.tokenCount]] (trimmed, split on
+  * `\s+`) so the q12/q54/q55/q57 oracles share one word definition.
+  */
+object Curation {
+
+  /** Trimmed whitespace word split; empty/blank text → empty array. */
+  private[ops] def wordsCol(text: Column): Column =
+    when(length(trim(text)) === 0, array().cast("array<string>"))
+      .otherwise(split(trim(text), "\\s+"))
+
+  /** Word n-grams as a pure Catalyst expression (transform + concat_ws —
+    * no UDF, stays in whole-stage codegen). Docs shorter than n words →
+    * empty array. Callers should materialize the words array in a prior
+    * projection so common-subexpression elimination applies.
+    */
+  private[ops] def gramsCol(ws: Column, n: Int): Column =
+    when(size(ws) < n, array().cast("array<string>"))
+      .otherwise(transform(sequence(lit(0), size(ws) - n), i =>
+        concat_ws(" ", (0 until n).map(j => element_at(ws, i + j + 1)): _*)))
+
+  /** Per-document cross-corpus n-gram sharing: how many of this doc's
+    * DISTINCT word n-grams appear in ≥ 2 documents corpus-wide. High
+    * shared fraction ⇒ boilerplate / template / near-duplicate content
+    * that survives doc-level dedup (Lee et al. 2022 found ~1 % of tokens
+    * in C4 sit inside 60-token exact duplicates; the n-gram doc-frequency
+    * is the bounded-memory version of that signal).
+    *
+    * Scale shape (3 shuffles, all on hashed keys):
+    *  1. distinct (doc, xxhash64(gram)) — dedups within-doc repeats so a
+    *     pathological looping doc cannot inflate any gram's frequency;
+    *  2. window count over gram hash — the gram doc-frequency, computed
+    *     WITHOUT a join back (one exchange, then the per-doc aggregate
+    *     reuses the rows in place);
+    *  3. groupBy doc — partial+final aggregation.
+    * Gram keys are 64-bit xxhash64 (codegen'd) so the shuffle carries
+    * 8-byte keys, not 3-word strings; at ~4×10⁹ distinct grams the
+    * birthday collision odds (~0.4) begin to overcount `n_shared` by
+    * ones — acceptable for a curation SIGNAL (the q55 oracle groups the
+    * gram strings themselves and matches exactly at test scale).
+    */
+  def sharedGramStats(docs: DataFrame, n: Int = 3,
+      idCol: String = "doc_id"): DataFrame = {
+    val docGram = docs
+      .select(col(idCol).as("doc_id"), wordsCol(col("text")).as("__ws"))
+      .select(col("doc_id"), explode(gramsCol(col("__ws"), n)).as("gram"))
+      .select(col("doc_id"), xxhash64(col("gram")).as("gh"))
+      .distinct()
+    val withDf = docGram
+      .withColumn("df", count(lit(1)).over(Window.partitionBy("gh")))
+    val perDoc = withDf.groupBy("doc_id").agg(
+      count(lit(1)).cast("int").as("n_distinct_grams"),
+      sum(when(col("df") >= 2, 1L).otherwise(0L)).cast("int").as("n_shared_grams"))
+    docs.select(col(idCol).as("doc_id")).join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_distinct_grams"), lit(0)).as("n_distinct_grams"),
+        coalesce(col("n_shared_grams"), lit(0)).as("n_shared_grams"),
+        when(coalesce(col("n_distinct_grams"), lit(0)) === 0, 0.0)
+          .otherwise(col("n_shared_grams").cast("double") /
+            col("n_distinct_grams").cast("double"))
+          .as("shared_fraction"))
+  }
+
+  /** Numeric order key in [0, 2³²): the first 8 hex digits of
+    * `md5(id ":" salt)`. Lexicographic order of the full 32-hex string
+    * equals numeric order of this prefix ties-then-remainder, which is
+    * what makes the pre-filter in [[capPerSource]] a provable prefix of
+    * the sort order. Same construction as [[Sampling.hashBucket]].
+    */
+  private def orderKey(id: Column, salt: String): Column =
+    conv(substring(md5(concat(id.cast("string"), lit(":" + salt))), 1, 8), 16, 10)
+      .cast("long")
+
+  /** Deterministic per-source cap (RefinedWeb-style domain balancing):
+    * keep at most `maxPerSource` documents per source, selected by a
+    * salted-hash order so the kept set is stable under reruns,
+    * reshuffles, and incremental re-ingestion. Returns ONLY the kept
+    * rows (`doc_id`, `source`, `src_rank` ∈ [1, cap]) — the cap IS the
+    * curation output.
+    *
+    * Scale: a naive `row_number` over (source) sorts every mega-domain
+    * in one task (a 10⁸-doc domain is a single 10⁸-row sort). Instead,
+    * sources above `prefilterAbove` are first cut to the hash-prefix
+    * `cutoff ≈ (cap + 8√cap + 64) / src_n` of their rows — a PREFIX of
+    * the (hash, id) sort order, so ranks among survivors equal global
+    * ranks — and only survivors are sorted. Expected survivors per
+    * source ≈ cap + 8√cap + 64; the chance of a source surviving with
+    * fewer than `cap` rows is Chernoff-negligible (< e⁻³⁰ even at
+    * cap = 1), and [[capPerSourceVerified]] makes the guard explicit.
+    */
+  def capPerSource(docs: DataFrame, maxPerSource: Int = 100,
+      salt: String = "graft", idCol: String = "doc_id",
+      srcCol: String = "source", prefilterAbove: Long = 1000000L): DataFrame = {
+    require(maxPerSource > 0, "maxPerSource must be positive")
+    val keyed = docs.select(col(idCol).as("doc_id"), col(srcCol).as("source"))
+      .withColumn("__h", orderKey(col("doc_id"), salt))
+      .withColumn("__hex", md5(concat(col("doc_id").cast("string"), lit(":" + salt))))
+    val counts = keyed.groupBy("source").agg(count(lit(1)).as("__src_n"))
+    // one row per source — broadcast unless the source universe itself is
+    // huge, in which case Spark falls back to a shuffle join on its own
+    val slack = maxPerSource + 8 * math.sqrt(maxPerSource.toDouble) + 64
+    val survivors = keyed.join(broadcast(counts), Seq("source"))
+      .filter(col("__src_n") <= lit(prefilterAbove) ||
+        col("__h") < (lit(slack) * lit(4294967296.0) / col("__src_n")).cast("long"))
+    survivors
+      .withColumn("src_rank", row_number().over(
+        Window.partitionBy("source").orderBy(col("__hex"), col("doc_id"))))
+      .filter(col("src_rank") <= maxPerSource)
+      .select("doc_id", "source", "src_rank")
+  }
+
+  /** [[capPerSource]] plus the explicit correctness guard: asserts every
+    * source kept `min(cap, src_n)` rows — the condition under which the
+    * hash-prefix pre-filter is provably exact. One extra small aggregate
+    * (rows = #sources); throws loudly rather than silently under-capping.
+    */
+  def capPerSourceVerified(docs: DataFrame, maxPerSource: Int = 100,
+      salt: String = "graft", idCol: String = "doc_id",
+      srcCol: String = "source", prefilterAbove: Long = 1000000L): DataFrame = {
+    val kept = capPerSource(docs, maxPerSource, salt, idCol, srcCol, prefilterAbove)
+      .localCheckpoint()
+    val expected = docs.groupBy(col(srcCol).as("source"))
+      .agg(least(count(lit(1)), lit(maxPerSource.toLong)).as("want"))
+    val got = kept.groupBy("source").agg(count(lit(1)).as("got"))
+    val bad = expected.join(got, Seq("source"), "left")
+      .filter(coalesce(col("got"), lit(0L)) < col("want")).count()
+    require(bad == 0,
+      s"capPerSource pre-filter under-selected $bad source(s) — raise slack " +
+        "or prefilterAbove (astronomically unlikely; indicates a hash-order bug)")
+    kept
+  }
+
+  /** Per-document pattern signals (emails / URLs / digit density) — the
+    * C4/RefinedWeb-style structural noise counters. Pure codegen'd
+    * regexp expressions; the patterns avoid constructs where Java regex
+    * and RE2 diverge (`\S` vs whitespace classes, Unicode digit classes)
+    * so the q58 DuckDB oracle matches count-for-count.
+    */
+  def patternSignals(docs: DataFrame): DataFrame = {
+    val nDigits = length(col("text")) -
+      length(regexp_replace(col("text"), "[0-9]", ""))
+    docs.select(col("doc_id"),
+      regexp_count(col("text"),
+        lit("[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}")).as("n_emails"),
+      regexp_count(col("text"), lit("https?://[^ ]+")).as("n_urls"),
+      nDigits.as("n_digits"),
+      when(length(col("text")) === 0, 0.0)
+        .otherwise(nDigits.cast("double") / length(col("text")).cast("double"))
+        .as("digit_fraction"))
+  }
+
+  /** The composed curation verdict — every per-doc signal this package
+    * and [[TextAnalysis]] produce, conjoined into one `kept` flag the
+    * way a production training-data pipeline would gate documents:
+    * exact-dup keeper ∧ target language ∧ low within-doc repetition ∧
+    * low corpus-rarity ∧ low cross-doc boilerplate ∧ within the
+    * per-source cap. Emits all six flags (so rejection reasons are
+    * queryable) plus the conjunction. Each input signal is independently
+    * oracled (q13/q22/q54/q55/q56/q57); q59 oracles the composition
+    * itself in one fixture-free SQL statement.
+    *
+    * Scale: six doc_id-keyed frames joined on doc_id — each right side
+    * shuffles once on the join key and the sort-merge chain accumulates
+    * without re-shuffling the left side; the signal computations keep
+    * their own documented shapes.
+    */
+  def curate(docs: DataFrame,
+      maxDupFraction: Double = 0.05,
+      maxRareFraction: Double = 0.25,
+      maxSharedFraction: Double = 0.8,
+      maxPerSource: Int = 10,
+      keepLang: String = "en"): DataFrame = {
+    val keepExact = docs.select(col("doc_id"),
+      (col("doc_id") === min("doc_id").over(Window.partitionBy(md5(col("text")))))
+        .as("keep_exact"))
+    val langOk = docs.select(col("doc_id"),
+      (TextAnalysis.langIdUdf(col("text")) === keepLang).as("lang_ok"))
+    val rep = TextAnalysis.repetition(docs).select(col("doc_id"),
+      (col("dup_fraction") <= maxDupFraction).as("low_repetition"))
+    val rar = unigramRarity(docs).select(col("doc_id"),
+      (col("rare_fraction") <= maxRareFraction).as("low_rarity"))
+    val sh = sharedGramStats(docs).select(col("doc_id"),
+      (col("shared_fraction") <= maxSharedFraction).as("low_shared"))
+    val cap = capPerSource(docs, maxPerSource)
+      .select(col("doc_id"), lit(true).as("within_cap"))
+    docs.select(col("doc_id"))
+      .join(keepExact, Seq("doc_id"))
+      .join(langOk, Seq("doc_id"))
+      .join(rep, Seq("doc_id"))
+      .join(rar, Seq("doc_id"))
+      .join(sh, Seq("doc_id"))
+      .join(cap, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("keep_exact"), col("lang_ok"),
+        col("low_repetition"), col("low_rarity"), col("low_shared"),
+        coalesce(col("within_cap"), lit(false)).as("within_cap"),
+        (col("keep_exact") && col("lang_ok") && col("low_repetition") &&
+          col("low_rarity") && col("low_shared") &&
+          coalesce(col("within_cap"), lit(false))).as("kept"))
+  }
+
+  /** Corpus-trained unigram rarity statistics per document — the LM-free
+    * analog of CCNet's perplexity filter. Documents whose tokens are
+    * mostly corpus-rare are gibberish/OCR noise; documents whose tokens
+    * are overwhelmingly corpus-common are boilerplate. Emits per doc:
+    * `n_tokens`, `n_rare` (tokens with corpus frequency ≤ rareThreshold),
+    * `rare_fraction`, and `avg_token_freq` (mean corpus frequency of the
+    * doc's tokens). All integer sums + one final division each, so the
+    * result is bit-exact vs a sequential SQL oracle — deliberately NOT a
+    * float log-prob sum, whose libm/accumulation-order differences would
+    * break cross-engine hash equality.
+    *
+    * Scale shape: term frequencies first (`groupBy(doc, word)` — the
+    * shuffle key includes doc_id, so Zipf-head words like "the" do NOT
+    * skew it), then one join tf × vocab counts on word (hot-key volume
+    * already collapsed by the tf step, factor ≈ avg term frequency; AQE
+    * skew-join splits the residual head), then a per-doc aggregate.
+    */
+  def unigramRarity(docs: DataFrame, rareThreshold: Long = 2L,
+      idCol: String = "doc_id"): DataFrame = {
+    val words = docs
+      .select(col(idCol).as("doc_id"), explode(wordsCol(col("text"))).as("w"))
+    val tf = words.groupBy("doc_id", "w").agg(count(lit(1)).as("tf"))
+      .localCheckpoint() // two consumers: vocab counts + the per-doc join
+    val vocab = tf.groupBy("w").agg(sum("tf").as("wc"))
+    val perDoc = tf.join(vocab, Seq("w"))
+      .groupBy("doc_id").agg(
+        sum("tf").cast("int").as("n_tokens"),
+        sum(when(col("wc") <= rareThreshold, col("tf")).otherwise(0L))
+          .cast("int").as("n_rare"),
+        sum(col("tf") * col("wc")).as("freq_mass"))
+    docs.select(col(idCol).as("doc_id")).join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_tokens"), lit(0)).as("n_tokens"),
+        coalesce(col("n_rare"), lit(0)).as("n_rare"),
+        when(coalesce(col("n_tokens"), lit(0)) === 0, 0.0)
+          .otherwise(col("n_rare").cast("double") / col("n_tokens").cast("double"))
+          .as("rare_fraction"),
+        when(coalesce(col("n_tokens"), lit(0)) === 0, 0.0)
+          .otherwise(col("freq_mass").cast("double") / col("n_tokens").cast("double"))
+          .as("avg_token_freq"))
+  }
+}

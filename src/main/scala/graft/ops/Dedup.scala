@@ -98,10 +98,19 @@ object Dedup {
     * band's RAW minhash tuple (not a re-hash) — grouping on the values
     * directly is collision-free and lets the q18/q50 oracles re-derive
     * banding from the dumped signatures in plain SQL.
+    *
+    * The signature stage is checkpointed BEFORE the band explode: the
+    * banded frame has 3-4 consumers downstream (bucket sizing, the
+    * capped join, the candidate self-join), and without the checkpoint
+    * each one re-runs the 32-hash shingle UDF over the whole corpus —
+    * the dominant CPU cost of the operator, multiplied needlessly.
+    * Checkpointing the compact pre-explode frame (id + 32 longs per doc)
+    * costs a fraction of one recompute.
     */
   private[graft] def minhashBanded(docs: DataFrame, idCol: String): DataFrame =
     docs
       .select(col(idCol).as("id"), minhashUdf(col("text")).as("sig"))
+      .localCheckpoint()
       .select(
         col("id"), col("sig"),
         explode(array((0 until Bands).map { b =>
@@ -161,7 +170,11 @@ object Dedup {
   def simhash(docs: DataFrame, maxHamming: Int = 3, idCol: String = "doc_id",
       bucketCap: Long = 10000L)(
       implicit spark: SparkSession): DataFrame = {
+    // checkpoint the signature stage once — the chunked frame has three
+    // consumers (bucket sizing, capped join, self-join) that would each
+    // re-run the per-word 64-bit hash fold otherwise
     val sigs = docs.select(col(idCol).as("id"), simhashUdf(col("text")).as("sig"))
+      .localCheckpoint()
     val allChunked = sigs.select(
       col("id"), col("sig"),
       explode(array((0 until 4).map(c =>
@@ -204,7 +217,15 @@ object Dedup {
   def ngramJaccard(docs: DataFrame, threshold: Double = 0.8, n: Int = 3,
       idCol: String = "doc_id")(implicit spark: SparkSession): DataFrame = {
     val candidates = minhashLsh(docs, idCol).filter(col("est_jaccard") >= threshold * 0.5)
+      .localCheckpoint()
+    // gram sets only for docs that actually appear in a candidate pair
+    // (candidates ≪ corpus at scale), materialized once instead of the
+    // whole-corpus shingle UDF running twice for the two join sides
+    val candIds = candidates.select(col("id_a").as("id"))
+      .union(candidates.select(col("id_b").as("id"))).distinct()
     val grams = docs.select(col(idCol).as("id"), ngramSetUdf(col("text"), lit(n)).as("grams"))
+      .join(candIds, Seq("id"), "left_semi")
+      .localCheckpoint()
     val jac = udf { (x: Seq[Int], y: Seq[Int]) =>
       if (x.isEmpty || y.isEmpty) 0.0
       else {
@@ -229,9 +250,14 @@ object Dedup {
       idCol: String = "vec_id", vecCol: String = "embedding",
       bucketCap: Long = 10000L)(
       implicit spark: SparkSession): DataFrame = {
+    // checkpoint the signature stage pre-explode: four downstream
+    // consumers would each re-run the 64 hyperplane dot products per
+    // vector; materializing (id, vec, 4 ints) once is far cheaper
     val allSigs = embeddings
       .select(col(idCol).as("id"), col(vecCol).as("vec"),
-        posexplode(Similarity.bandedSignatureUdf(col(vecCol))).as(Seq("band", "key")))
+        Similarity.bandedSignatureUdf(col(vecCol)).as("__bands"))
+      .localCheckpoint()
+      .select(col("id"), col("vec"), posexplode(col("__bands")).as(Seq("band", "key")))
     val (sigs, droppedB) = capBuckets(allSigs, Seq("band", "key"), bucketCap)
     logDropped("embeddingCosine", droppedB)
     val a = sigs.select(col("band"), col("key"), col("id").as("id_a"), col("vec").as("va"))

@@ -87,4 +87,43 @@ object TextAnalysis {
 
   def fingerprints(docs: DataFrame): DataFrame =
     docs.select(col("doc_id"), fingerprintUdf(col("text")).as("fingerprint"))
+
+  /** Within-document repetition signals (the Gopher-style curation
+    * filters): duplicate word-n-gram fraction and the share of the most
+    * frequent n-gram. Boilerplate, keyword stuffing, and generation
+    * loops all light these up while length/stopword stats stay normal.
+    * Whitespace tokenization matches [[tokenCount]]/q12 so the q54
+    * oracle re-derives everything with DuckDB list lambdas.
+    */
+  private val repetitionUdf = udf { (text: String, n: Int) =>
+    val words =
+      if (text == null || text.trim.isEmpty) Array.empty[String]
+      else text.trim.split("\\s+")
+    if (words.length < n) (0, 0, 0)
+    else {
+      val counts = scala.collection.mutable.HashMap.empty[String, Int]
+      var i = 0
+      while (i + n <= words.length) {
+        val g = words.slice(i, i + n).mkString(" ")
+        counts.update(g, counts.getOrElse(g, 0) + 1)
+        i += 1
+      }
+      (words.length - n + 1, counts.size, counts.valuesIterator.max)
+    }
+  }
+
+  /** One row per doc: n-gram total/distinct counts, duplicate-gram
+    * fraction, and top-gram share (0.0 for docs shorter than n words).
+    */
+  def repetition(docs: DataFrame, n: Int = 3): DataFrame =
+    docs
+      .select(col("doc_id"), repetitionUdf(col("text"), lit(n)).as("r"))
+      .select(col("doc_id"),
+        col("r._1").as("n_grams"), col("r._2").as("n_distinct"),
+        when(col("r._1") === 0, 0.0)
+          .otherwise(lit(1.0) - col("r._2").cast("double") / col("r._1").cast("double"))
+          .as("dup_fraction"),
+        when(col("r._1") === 0, 0.0)
+          .otherwise(col("r._3").cast("double") / col("r._1").cast("double"))
+          .as("top_share"))
 }

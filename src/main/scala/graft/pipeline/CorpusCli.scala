@@ -1,6 +1,6 @@
 package graft.pipeline
 
-import graft.ops.{Dedup, Ivf, Sampling, TextAnalysis}
+import graft.ops.{Curation, Dedup, Ivf, Sampling, TextAnalysis}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -16,6 +16,8 @@ import org.apache.spark.sql.functions._
   *   CorpusCli split          <docs.parquet> <out> [trainPm] [valPm] [salt]
   *   CorpusCli pack           <docs.parquet> <out> [tokenBudget] [nBuckets]
   *   CorpusCli quality        <docs.parquet> <out>
+  *   CorpusCli curate         <docs.parquet> <out>   (shared-gram + rarity signals)
+  *   CorpusCli source-cap     <docs.parquet> <out> [maxPerSource] [salt]
   *   CorpusCli ann            <emb.parquet> <queries.parquet> <out> [k] [nprobe]
   *
   * Every command is a straight mapping onto one `graft.ops` operator, so
@@ -78,7 +80,26 @@ object CorpusCli {
         val scored = TextAnalysis.quality(docs)
           .join(TextAnalysis.langId(docs).select(col("doc_id"), col("predicted_lang")),
             Seq("doc_id"))
+          .join(TextAnalysis.repetition(docs)
+            .select(col("doc_id"), col("dup_fraction"), col("top_share")), Seq("doc_id"))
         summary("quality", out, write(scored, out))
+
+      case "curate" =>
+        val Seq(in, out) = args.slice(1, 3)
+        val docs = spark.read.parquet(in)
+        val scored = Curation.sharedGramStats(docs)
+          .join(Curation.unigramRarity(docs)
+            .select(col("doc_id"), col("n_rare"), col("rare_fraction"),
+              col("avg_token_freq")), Seq("doc_id"))
+        summary("curate", out, write(scored, out))
+
+      case "source-cap" =>
+        val Seq(in, out) = args.slice(1, 3)
+        val cap = if (args.length > 3) args(3).toInt else 100
+        val salt = if (args.length > 4) args(4) else "graft"
+        summary("source-cap", out,
+          write(Curation.capPerSourceVerified(spark.read.parquet(in),
+            maxPerSource = cap, salt = salt), out))
 
       case "ann" =>
         val Seq(in, queries, out) = args.slice(1, 4)
@@ -91,7 +112,8 @@ object CorpusCli {
       case other =>
         throw new IllegalArgumentException(
           s"unknown command '$other' " +
-            "(dedup-exact|dedup-clusters|decontaminate|split|pack|quality|ann)")
+            "(dedup-exact|dedup-clusters|decontaminate|split|pack|quality|" +
+            "curate|source-cap|ann)")
     }
   }
 

@@ -55,7 +55,32 @@ class CorpusCliSuite extends SparkFunSuite {
   test("quality command joins scores with language id") {
     CorpusCli.run(Seq("quality", s"$dir/docs", s"$dir/quality"), spark)
     val cols = spark.read.parquet(s"$dir/quality").columns.toSet
-    assert(Set("doc_id", "n_tokens", "len_bucket", "predicted_lang").subsetOf(cols), cols)
+    assert(Set("doc_id", "n_tokens", "len_bucket", "predicted_lang",
+      "dup_fraction", "top_share").subsetOf(cols), cols)
+  }
+
+  test("curate command emits shared-gram + rarity signals") {
+    CorpusCli.run(Seq("curate", s"$dir/docs", s"$dir/curated"), spark)
+    val rows = spark.read.parquet(s"$dir/curated")
+    assert(rows.count() == 3)
+    assert(Set("doc_id", "shared_fraction", "rare_fraction", "avg_token_freq")
+      .subsetOf(rows.columns.toSet), rows.columns.mkString(","))
+    // docs 0/1 are verbatim dups — every gram shared; doc 2 shares none
+    val shared = rows.select("doc_id", "shared_fraction")
+      .as[(Long, Double)].collect().toMap
+    assert(shared(0L) == 1.0 && shared(1L) == 1.0 && shared(2L) == 0.0)
+  }
+
+  test("source-cap command keeps at most K docs per source") {
+    (0L until 20L).map(i => (i, s"s${i % 2}", "text"))
+      .toDF("doc_id", "source", "text")
+      .write.mode("overwrite").parquet(s"$dir/srcdocs")
+    val out = CorpusCli.run(
+      Seq("source-cap", s"$dir/srcdocs", s"$dir/capped", "4"), spark)
+    assert(out.head.contains("\"rows\":8"), out.head) // 2 sources × cap 4
+    val bySrc = spark.read.parquet(s"$dir/capped")
+      .select("source").as[String].collect().groupBy(identity).map(_._2.size)
+    assert(bySrc.forall(_ == 4))
   }
 
   test("ann command serves IVF neighbors") {

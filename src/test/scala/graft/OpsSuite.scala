@@ -168,6 +168,119 @@ class OpsSuite extends SparkFunSuite {
     assert(fp(0L) != fp(4L))
   }
 
+  test("repetition signals: duplicate 3-gram fraction and top-gram share") {
+    val d = Seq(
+      (1L, "a b a b a b a b"),
+      (2L, "all distinct words here now"),
+      (3L, "x y")
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.repetition(d)
+      .as[(Long, Int, Int, Double, Double)].collect().map(r => r._1 -> r).toMap
+    assert(out(1L) == ((1L, 6, 2, 1.0 - 2.0 / 6.0, 0.5)))
+    assert(out(2L) == ((2L, 3, 3, 0.0, 1.0 / 3.0)))
+    assert(out(3L) == ((3L, 0, 0, 0.0, 0.0)))
+  }
+
+  test("shared-gram stats: cross-doc 3-gram doc-frequency, hand-worked") {
+    // docs 0/1 identical (12 grams each, all shared), doc2 shares 11 of
+    // its 12 ("river bank tonight" is unique), docs 3/4 share nothing
+    val out = graft.ops.Curation.sharedGramStats(docs)
+      .as[(Long, Int, Int, Double)].collect().map(r => r._1 -> r).toMap
+    assert(out(0L) == ((0L, 12, 12, 1.0)))
+    assert(out(1L) == ((1L, 12, 12, 1.0)))
+    assert(out(2L) == ((2L, 12, 11, 11.0 / 12.0)))
+    assert(out(3L) == ((3L, 11, 0, 0.0)))
+    assert(out(4L) == ((4L, 7, 0, 0.0)))
+  }
+
+  test("shared-gram stats: within-doc repeats count once toward doc-frequency") {
+    // "x y z x y z" repeats its grams internally but no OTHER doc has
+    // them — distinct-per-doc means df stays 1 and nothing is 'shared'
+    val d = Seq((1L, "x y z x y z"), (2L, "totally unrelated words here")).toDF("doc_id", "text")
+    val out = graft.ops.Curation.sharedGramStats(d)
+      .as[(Long, Int, Int, Double)].collect().map(r => r._1 -> r).toMap
+    assert(out(1L) == ((1L, 3, 0, 0.0))) // 4 grams, 3 distinct, none shared
+  }
+
+  test("per-source caps: deterministic, exact, and prefilter-path-identical") {
+    val d = (0L until 500L).map(i => (i, s"src${i % 4}")).toDF("doc_id", "source")
+      .withColumn("text", lit("unused"))
+    val naive = graft.ops.Curation.capPerSource(d, maxPerSource = 3,
+      prefilterAbove = Long.MaxValue)
+    // prefilterAbove = 0 forces the hash-prefix cut on every source
+    // (125 docs/source vs slack ≈ 81 → the cut genuinely drops rows)
+    val fast = graft.ops.Curation.capPerSourceVerified(d, maxPerSource = 3,
+      prefilterAbove = 0L)
+    val a = naive.as[(Long, String, Int)].collect().toSet
+    val b = fast.as[(Long, String, Int)].collect().toSet
+    assert(a == b, s"prefilter path diverged: ${a.diff(b)} vs ${b.diff(a)}")
+    assert(a.size == 12) // 4 sources × cap 3
+    assert(a.groupBy(_._2).forall(_._2.map(_._3).toSeq.sorted == Seq(1, 2, 3)))
+  }
+
+  test("per-source caps: sources smaller than the cap keep everything") {
+    val d = Seq((1L, "a"), (2L, "a"), (3L, "b")).toDF("doc_id", "source")
+    val out = graft.ops.Curation.capPerSourceVerified(d, maxPerSource = 10)
+      .as[(Long, String, Int)].collect()
+    assert(out.length == 3)
+  }
+
+  test("unigram rarity: corpus-trained frequencies, hand-worked") {
+    val d = Seq((1L, "a a b"), (2L, "b c"), (3L, "")).toDF("doc_id", "text")
+    // vocab: a→2, b→2, c→1; rareThreshold 1 ⇒ only c is rare
+    val out = graft.ops.Curation.unigramRarity(d, rareThreshold = 1L)
+      .as[(Long, Int, Int, Double, Double)].collect().map(r => r._1 -> r).toMap
+    assert(out(1L) == ((1L, 3, 0, 0.0, 2.0)))       // freq mass 2+2+2 = 6
+    assert(out(2L) == ((2L, 2, 1, 0.5, 1.5)))       // freq mass 2+1 = 3
+    assert(out(3L) == ((3L, 0, 0, 0.0, 0.0)))
+  }
+
+  test("pattern signals: email/url/digit counters, hand-worked") {
+    val d = Seq(
+      (1L, "contact me at foo@example.com or visit https://example.com/page now 123"),
+      (2L, "no patterns in this text"),
+      (3L, "")
+    ).toDF("doc_id", "text")
+    val out = graft.ops.Curation.patternSignals(d)
+      .as[(Long, Int, Int, Int, Double)].collect().map(r => r._1 -> r).toMap
+    assert(out(1L)._2 == 1 && out(1L)._3 == 1 && out(1L)._4 == 3)
+    assert(out(1L)._5 == 3.0 / "contact me at foo@example.com or visit https://example.com/page now 123".length)
+    assert(out(2L) == ((2L, 0, 0, 0, 0.0)))
+    assert(out(3L) == ((3L, 0, 0, 0, 0.0)))
+  }
+
+  test("curate: composed verdict with per-gate rejection flags") {
+    val en = "the quick brown fox is a good dog and the cat is in the house today"
+    val d = Seq(
+      (0L, en, "s1"),                                                      // kept
+      (1L, en, "s1"),                                                      // exact dup
+      (2L, "der schnelle braune fuchs ist und das nicht ein gutes haus", "s1"), // wrong lang
+      (3L, "yes yes yes yes yes yes yes yes yes yes the is a of to in and", "s1"), // repetitive
+      (4L, "one english text about the state of a market in the city", "s2"),
+      (5L, "another english text about the shape of a river in the hills", "s2"),
+      (6L, "a third english text about the sound of a forest in the north", "s2")
+    ).toDF("doc_id", "text", "source")
+    // lenient rarity/shared thresholds + a non-binding cap isolate the
+    // content gates under test
+    val out = graft.ops.Curation.curate(d, maxDupFraction = 0.05,
+      maxRareFraction = 1.0, maxSharedFraction = 1.0, maxPerSource = 10)
+      .as[(Long, Boolean, Boolean, Boolean, Boolean, Boolean, Boolean, Boolean)]
+      .collect().map(r => r._1 -> r).toMap
+    assert(out(0L)._8, out(0L).toString)                  // all gates pass
+    assert(!out(1L)._2 && !out(1L)._8)                    // exact-dup loser
+    assert(!out(2L)._3 && !out(2L)._8)                    // lang gate
+    assert(!out(3L)._4 && !out(3L)._8)                    // repetition gate
+    assert(Seq(4L, 5L, 6L).forall(out(_)._8))             // s2 all kept
+    // binding cap: 2 per source must exclude exactly one of docs 4/5/6
+    val capped = graft.ops.Curation.curate(d, maxDupFraction = 0.05,
+      maxRareFraction = 1.0, maxSharedFraction = 1.0, maxPerSource = 2)
+      .as[(Long, Boolean, Boolean, Boolean, Boolean, Boolean, Boolean, Boolean)]
+      .collect().map(r => r._1 -> r).toMap
+    val s2 = Seq(4L, 5L, 6L).map(capped)
+    assert(s2.count(!_._7) == 1, s2.toString)             // cap excluded one
+    assert(s2.count(_._8) == 2)
+  }
+
   test("multimodal: stub features have real schema/batch shape") {
     val media = Multimodal.synthesizeFromDocuments(docs)
     val feats = Multimodal.extractFeatures(media)

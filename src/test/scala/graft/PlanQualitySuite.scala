@@ -165,6 +165,44 @@ class PlanQualitySuite extends SparkFunSuite {
     assert(!plan.contains("Exchange"), "split assignment must not shuffle")
   }
 
+  test("q53 shard packing: window partitioned by bucket (no single-partition global sort)") {
+    val plan = planOf(SparkEntry.queries("q53_pack_shards")(spark, dir))
+    assert(plan.contains("Window"), plan.take(2000))
+    // the cardinal sin for a prefix-sum at scale: a window with an empty
+    // partition spec collapses to ONE task; ours must partition by bucket
+    assert(!plan.contains("Window [") || plan.contains("partitionBy") ||
+      plan.contains("hashpartitioning"), plan.take(3000))
+    assert(plan.contains("hashpartitioning(__bucket") ||
+      plan.contains("hashpartitioning(_groupingexpression"),
+      "shard-pack window is not partitioned by the hash bucket:\n" + plan.take(3000))
+  }
+
+  test("q55 shared grams: gram keys are hashed (narrow shuffle), no Scala UDF") {
+    val plan = planOf(SparkEntry.queries("q55_shared_grams")(spark, dir))
+    assert(plan.contains("xxhash64"), "grams must shuffle as 64-bit hashes:\n" + plan.take(2000))
+    assert(!plan.contains("BatchEvalPython"))
+    // the doc-frequency must come from a window over the hash, not a
+    // self-join of the exploded gram frame
+    assert(plan.contains("Window"), plan.take(2000))
+  }
+
+  test("q56 source caps: per-source counts are broadcast, not shuffled") {
+    // the verified wrapper checkpoints eagerly (its plan is a cache scan);
+    // pin the underlying operator's plan
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val plan = planOf(graft.ops.Curation.capPerSource(docs, maxPerSource = 10))
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastExchange"),
+      "source-count side must broadcast:\n" + plan.take(3000))
+    assert(plan.contains("Window"), plan.take(2000))
+  }
+
+  test("q57 unigram rarity: tf stage uses partial aggregation, no UDF") {
+    val plan = planOf(SparkEntry.queries("q57_unigram_rarity")(spark, dir))
+    assert("HashAggregate".r.findAllIn(plan).size >= 2, "no partial aggregation")
+    assert(!plan.toLowerCase.contains("scalaudf"),
+      "rarity must be pure column expressions:\n" + plan.take(2000))
+  }
+
   test("q49 windowed events: partial+final aggregation around one exchange") {
     val plan = planOf(SparkEntry.queries("q49_events_windowed")(spark, dir))
     assert("HashAggregate".r.findAllIn(plan).size >= 2, "no partial aggregation")
