@@ -351,6 +351,16 @@ object SparkEntry {
       graft.ops.Curation.patternSignals(t(s, dir, "documents"))),
     "q59_curate" -> ((s, dir) =>
       graft.ops.Curation.curate(t(s, dir, "documents"))),
+    "q60_incremental_dedup" -> ((s, dir) => {
+      implicit val sp = s
+      // cross-batch dedup: evens play the committed corpus (signature
+      // index), odds the arriving batch — each odd doc annotated with its
+      // best committed near-dup (est ≥ 0.5) without re-reading even text
+      val docs = t(s, dir, "documents")
+      val existing = Dedup.signatures(docs.filter(col("doc_id") % 2 === 0), "doc_id")
+      graft.ops.IncrementalDedup.annotateAgainst(
+        existing, docs.filter(col("doc_id") % 2 === 1), minEstJaccard = 0.5)
+    }),
     "q53_pack_shards" -> ((s, dir) =>
       graft.ops.Sampling.packShards(
         t(s, dir, "documents")
@@ -1133,6 +1143,36 @@ object SparkEntry {
          |        FROM est GROUP BY 1, 2)
          |SELECT corpus_id, benchmark_id, est_jaccard FROM agg
          |WHERE est_jaccard >= 0.5""".stripMargin,
+    "q60_incremental_dedup" ->
+      // incremental annotation re-derived from the signature fixture:
+      // committed side (evens) banded + capped, batch side (odds)
+      // banded uncapped, best committed match per batch doc = highest
+      // est_jaccard then smallest committed id, novel docs kept as nulls
+      s"""WITH sigs AS (SELECT doc_id AS id, sig
+         |  FROM read_parquet('$FixturesDir/minhash_sigs/*.parquet')),
+         |banded AS (
+         |  SELECT id, sig, b.band,
+         |    concat_ws(':', sig[b.band*4+1], sig[b.band*4+2],
+         |              sig[b.band*4+3], sig[b.band*4+4]) AS bucket
+         |  FROM sigs, (SELECT unnest(range(0,8)) AS band) b),
+         |exb AS (SELECT * FROM banded WHERE id % 2 = 0),
+         |esz AS (SELECT band, bucket, count(*) AS bn FROM exb GROUP BY 1, 2),
+         |ekept AS (SELECT exb.* FROM exb JOIN esz USING (band, bucket)
+         |          WHERE bn <= 10000),
+         |bab AS (SELECT * FROM banded WHERE id % 2 = 1),
+         |hits AS (SELECT bab.id AS batch_id, e.id AS existing_id,
+         |    max(len(list_filter(range(1, 33), i -> bab.sig[i] = e.sig[i]))
+         |      / CAST(32 AS DOUBLE)) AS est_jaccard
+         |  FROM bab JOIN ekept e USING (band, bucket)
+         |  GROUP BY 1, 2),
+         |best AS (SELECT batch_id, existing_id, est_jaccard FROM (
+         |    SELECT batch_id, existing_id, est_jaccard, row_number() OVER (
+         |      PARTITION BY batch_id
+         |      ORDER BY est_jaccard DESC, existing_id ASC) AS rn
+         |    FROM hits WHERE est_jaccard >= 0.5) WHERE rn = 1)
+         |SELECT s.id AS doc_id, best.existing_id AS dup_of, best.est_jaccard
+         |FROM (SELECT id FROM sigs WHERE id % 2 = 1) s
+         |LEFT JOIN best ON s.id = best.batch_id""".stripMargin,
     "q51_split_assign" ->
       // fixture-free: md5 is md5 in both engines; hex→int via conv /
       // CAST('0x…'), mod 1000, same CASE cut

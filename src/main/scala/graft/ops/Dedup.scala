@@ -39,7 +39,7 @@ object Dedup {
   }
 
   /** Surface capped buckets (GRAFT_VERBOSE gates the extra count job). */
-  private def logDropped(op: String, dropped: DataFrame): Unit =
+  private[ops] def logDropped(op: String, dropped: DataFrame): Unit =
     if (sys.env.contains("GRAFT_VERBOSE")) {
       val n = dropped.count()
       if (n > 0)
@@ -108,9 +108,21 @@ object Dedup {
     * costs a fraction of one recompute.
     */
   private[graft] def minhashBanded(docs: DataFrame, idCol: String): DataFrame =
-    docs
-      .select(col(idCol).as("id"), minhashUdf(col("text")).as("sig"))
-      .localCheckpoint()
+    bandify(signatures(docs, idCol).localCheckpoint())
+
+  /** Compact per-doc signature frame `(id, sig)` — the unit the
+    * incremental path persists (one 32-long array per doc, ~300 bytes:
+    * ~1 % of corpus bytes at web-document sizes).
+    */
+  private[graft] def signatures(docs: DataFrame, idCol: String): DataFrame =
+    docs.select(col(idCol).as("id"), minhashUdf(col("text")).as("sig"))
+
+  /** Re-derive the 8×4 banding from stored signatures — array slicing
+    * only, so reading a committed signature table back into banded form
+    * costs no text re-hashing.
+    */
+  private[graft] def bandify(sigs: DataFrame): DataFrame =
+    sigs
       .select(
         col("id"), col("sig"),
         explode(array((0 until Bands).map { b =>

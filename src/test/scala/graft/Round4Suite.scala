@@ -216,4 +216,82 @@ class Round4Suite extends SparkFunSuite {
     assert(got("web:C Cache") == "web:A Cache")
     assert(got("web:Solo Thing") == "web:Solo Thing") // identity fallback
   }
+
+  // ---- Incremental dedup over the committed signature index --------------
+
+  test("incremental dedup: batch vs committed signatures, idempotent append") {
+    import graft.ops.IncrementalDedup
+    import graft.store.SnapshotStore
+    val s = spark
+    val wh = java.nio.file.Files.createTempDirectory("graft-incdedup").toString
+    val store = new SnapshotStore(wh)
+
+    // batch 1: doc 3 duplicates doc 1 within the batch; 1 and 2 accepted
+    val b1 = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog near the river bank"),
+      (2L, "completely different content about spark shuffle partitions and joins"),
+      (3L, "the quick brown fox jumps over the lazy dog near the river bank")
+    ).toDF("doc_id", "text")
+    val a1 = IncrementalDedup.ingestBatch(store, "b1", b1)
+      .select("doc_id", "accepted").as[(Long, Boolean)].collect().toMap
+    assert(a1 == Map(1L -> true, 2L -> true, 3L -> false))
+    assert(store.read(IncrementalDedup.SigTable).count() == 2)
+
+    // batch 2: doc 10 duplicates COMMITTED doc 1 (never co-resident in a
+    // batch with it); doc 11 is novel
+    val b2 = Seq(
+      (10L, "the quick brown fox jumps over the lazy dog near the river bank"),
+      (11L, "a totally novel document about causal graphs and sampling strategies")
+    ).toDF("doc_id", "text")
+    val a2 = IncrementalDedup.ingestBatch(store, "b2", b2)
+      .select("doc_id", "dup_of", "accepted")
+      .collect().map(r => r.getLong(0) -> (Option(r.get(1)), r.getBoolean(2))).toMap
+    assert(a2(10L) == ((Some(1L), false)), a2.toString)
+    assert(a2(11L) == ((None, true)))
+    assert(store.read(IncrementalDedup.SigTable).count() == 3)
+
+    // re-ingesting batch 2 is a store no-op (resume semantics): doc 11 now
+    // matches its own committed signature, and NOTHING new is appended
+    val a3 = IncrementalDedup.ingestBatch(store, "b2", b2)
+      .select("doc_id", "dup_of").collect()
+      .map(r => r.getLong(0) -> Option(r.get(1)).map(_.asInstanceOf[Long])).toMap
+    assert(a3(10L) == Some(1L) && a3(11L) == Some(11L))
+    assert(store.read(IncrementalDedup.SigTable).count() == 3)
+    assert(store.latest(IncrementalDedup.SigTable).get.inputPartitions == Seq("b1", "b2"))
+  }
+
+  // ---- Streaming corpus curation ------------------------------------------
+
+  test("streaming curation: online exact dedup + quality gate survives restart") {
+    import graft.streaming.StreamingCuration
+    val s = spark
+    val base = java.nio.file.Files.createTempDirectory("graft-streamcur").toString
+    val (inDir, outDir, ckDir) = (s"$base/in", s"$base/out", s"$base/ck")
+    val outSchema =
+      org.apache.spark.sql.Encoders.product[StreamingCuration.CuratedDoc].schema
+    def sink() = spark.read.schema(outSchema).parquet(outDir)
+
+    // batch 1: two distinct docs, one of them below the token floor
+    Seq((1L, "the quick brown fox jumps"), (2L, "hi"))
+      .toDF("doc_id", "text").write.mode("append").parquet(inDir)
+    StreamingCuration.runOnce(inDir, outDir, ckDir)
+    val r1 = sink().as[StreamingCuration.CuratedDoc].collect().map(d => d.doc_id -> d).toMap
+    assert(r1(1L).novel && r1(1L).quality_ok)
+    assert(r1(2L).novel && !r1(2L).quality_ok) // admitted but quality-flagged
+    assert(r1.size == 2)
+
+    // batch 2 AFTER restart: a copy of doc 1's text must be caught by the
+    // checkpointed seen-content state, not re-admitted
+    Seq((5L, "the quick brown fox jumps"), (6L, "a brand new document entirely"))
+      .toDF("doc_id", "text").write.mode("append").parquet(inDir)
+    StreamingCuration.runOnce(inDir, outDir, ckDir)
+    val r2 = sink().as[StreamingCuration.CuratedDoc].collect().map(d => d.doc_id -> d).toMap
+    assert(r2.size == 4)
+    assert(!r2(5L).novel && r2(5L).dup_of == 1L)
+    assert(r2(6L).novel && r2(6L).quality_ok)
+
+    // draining again with nothing new emits nothing more
+    StreamingCuration.runOnce(inDir, outDir, ckDir)
+    assert(sink().count() == 4)
+  }
 }
