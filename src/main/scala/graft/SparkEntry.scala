@@ -361,6 +361,42 @@ object SparkEntry {
       graft.ops.IncrementalDedup.annotateAgainst(
         existing, docs.filter(col("doc_id") % 2 === 1), minEstJaccard = 0.5)
     }),
+    "q61_redact_pii" -> ((s, dir) => {
+      // the synthetic docs carry no PII; splice deterministic email/URL/IP
+      // literals into doc_id-keyed subsets INSIDE the query (the oracle
+      // performs the same concat) so the rewrite is actually exercised
+      val docs = t(s, dir, "documents")
+      val enriched = docs.withColumn("text", concat(col("text"),
+        when(col("doc_id") % 5 === 0,
+          concat(lit(" contact user"), col("doc_id").cast("string"),
+            lit("@example.com"))).otherwise(lit("")),
+        when(col("doc_id") % 7 === 0,
+          concat(lit(" see https://ex"), col("doc_id").cast("string"),
+            lit(".example/p?q=1"))).otherwise(lit("")),
+        when(col("doc_id") % 11 === 0,
+          concat(lit(" host 10.0."), (col("doc_id") % 256).cast("string"),
+            lit("."), (col("doc_id") % 200).cast("string"))).otherwise(lit(""))))
+      graft.ops.Curation.redactPii(enriched)
+    }),
+    "q62_incremental_canon" -> ((s, dir) => {
+      implicit val sp = s
+      // incremental CC: commit clusters over the even-even near-dup pairs,
+      // then fold in every pair touching an odd (new-batch) doc via
+      // IncrementalCanon — the result must equal global CC over ALL pairs,
+      // which the oracle recomputes independently as a recursive closure
+      val docs = t(s, dir, "documents")
+      val pairs = Dedup.minhashLsh(docs).filter(col("est_jaccard") >= 0.5)
+        .select("id_a", "id_b").localCheckpoint()
+      val init = pairs.filter(col("id_a") % 2 === 0 && col("id_b") % 2 === 0)
+      val delta = pairs.filter(col("id_a") % 2 === 1 || col("id_b") % 2 === 1)
+      val committed = graft.canon.Canon.connectedComponentsAuto(init)
+      val updated = graft.canon.IncrementalCanon.update(committed, delta)
+      docs.select(col("doc_id"))
+        .join(updated.select(col("id").as("doc_id"), col("canonical_id")),
+          Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("canonical_id"), col("doc_id")).as("cluster_id"))
+    }),
     "q53_pack_shards" -> ((s, dir) =>
       graft.ops.Sampling.packShards(
         t(s, dir, "documents")
@@ -1173,6 +1209,52 @@ object SparkEntry {
          |SELECT s.id AS doc_id, best.existing_id AS dup_of, best.est_jaccard
          |FROM (SELECT id FROM sigs WHERE id % 2 = 1) s
          |LEFT JOIN best ON s.id = best.batch_id""".stripMargin,
+    "q61_redact_pii" ->
+      // fixture-free: the deterministic PII splice re-built with ||/CASE,
+      // then the SAME three ordered RE2 rewrites (email → URL → IPv4);
+      // counts taken on each stage's input exactly like the operator
+      """WITH enriched AS (SELECT doc_id,
+        |  text ||
+        |  CASE WHEN doc_id % 5 = 0 THEN ' contact user' ||
+        |    CAST(doc_id AS VARCHAR) || '@example.com' ELSE '' END ||
+        |  CASE WHEN doc_id % 7 = 0 THEN ' see https://ex' ||
+        |    CAST(doc_id AS VARCHAR) || '.example/p?q=1' ELSE '' END ||
+        |  CASE WHEN doc_id % 11 = 0 THEN ' host 10.0.' ||
+        |    CAST(doc_id % 256 AS VARCHAR) || '.' ||
+        |    CAST(doc_id % 200 AS VARCHAR) ELSE '' END AS text
+        |  FROM documents),
+        |e1 AS (SELECT doc_id, text, regexp_replace(text,
+        |    '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}', '<EMAIL>', 'g') AS t1
+        |  FROM enriched),
+        |e2 AS (SELECT *, regexp_replace(t1, 'https?://[^ ]+', '<URL>', 'g') AS t2
+        |  FROM e1)
+        |SELECT doc_id,
+        |  CAST(len(regexp_extract_all(text,
+        |    '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}')) AS INT) AS n_emails,
+        |  CAST(len(regexp_extract_all(t1, 'https?://[^ ]+')) AS INT) AS n_urls,
+        |  CAST(len(regexp_extract_all(t2,
+        |    '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b')) AS INT) AS n_ips,
+        |  regexp_replace(t2,
+        |    '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b', '<IP>', 'g')
+        |    AS text_redacted
+        |FROM e2""".stripMargin,
+    "q62_incremental_canon" ->
+      // the incremental result must equal GLOBAL connected components over
+      // all near-dup pairs — recomputed here from the signature fixture as
+      // a recursive closure (same independent-derivation pattern as q50),
+      // so the contract-relabel-merge path is checked end-to-end
+      s"""WITH RECURSIVE $minhashPairsCte,
+         |p AS (SELECT id_a, id_b FROM agg WHERE est_jaccard >= 0.5),
+         |e AS (SELECT id_a AS src, id_b AS dst FROM p
+         |      UNION SELECT id_b, id_a FROM p),
+         |nn AS (SELECT DISTINCT src AS id FROM e),
+         |reach AS (
+         |  SELECT id, id AS r FROM nn
+         |  UNION
+         |  SELECT e.dst AS id, reach.r FROM reach JOIN e ON reach.id = e.src),
+         |lbl AS (SELECT id, MIN(r) AS cluster_id FROM reach GROUP BY id)
+         |SELECT d.doc_id, COALESCE(l.cluster_id, d.doc_id) AS cluster_id
+         |FROM documents d LEFT JOIN lbl l ON d.doc_id = l.id""".stripMargin,
     "q51_split_assign" ->
       // fixture-free: md5 is md5 in both engines; hex→int via conv /
       // CAST('0x…'), mod 1000, same CASE cut

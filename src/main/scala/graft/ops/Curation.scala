@@ -163,13 +163,35 @@ object Curation {
     val nDigits = length(col("text")) -
       length(regexp_replace(col("text"), "[0-9]", ""))
     docs.select(col("doc_id"),
-      regexp_count(col("text"),
-        lit("[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}")).as("n_emails"),
-      regexp_count(col("text"), lit("https?://[^ ]+")).as("n_urls"),
+      regexp_count(col("text"), lit(EmailPattern)).as("n_emails"),
+      regexp_count(col("text"), lit(UrlPattern)).as("n_urls"),
       nDigits.as("n_digits"),
       when(length(col("text")) === 0, 0.0)
         .otherwise(nDigits.cast("double") / length(col("text")).cast("double"))
         .as("digit_fraction"))
+  }
+
+  /** Shared Java-regex-∩-RE2-safe patterns (see [[patternSignals]] note). */
+  val EmailPattern = "[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}"
+  val UrlPattern = "https?://[^ ]+"
+  val Ipv4Pattern = "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b"
+
+  /** PII redaction — the C4/CCNet-style scrub pass a training corpus gets
+    * before packing: emails → `<EMAIL>`, then URLs → `<URL>`, then bare
+    * IPv4 literals → `<IP>`, applied in that FIXED order (each stage
+    * counts and rewrites the previous stage's output, so an email inside
+    * a URL redacts as one deterministic composition on both engines).
+    * Pure codegen'd regexp expressions — no UDF, no shuffle; the q61
+    * DuckDB oracle replays the same three rewrites with RE2.
+    */
+  def redactPii(docs: DataFrame): DataFrame = {
+    val afterEmail = regexp_replace(col("text"), EmailPattern, "<EMAIL>")
+    val afterUrl = regexp_replace(afterEmail, UrlPattern, "<URL>")
+    docs.select(col("doc_id"),
+      regexp_count(col("text"), lit(EmailPattern)).as("n_emails"),
+      regexp_count(afterEmail, lit(UrlPattern)).as("n_urls"),
+      regexp_count(afterUrl, lit(Ipv4Pattern)).as("n_ips"),
+      regexp_replace(afterUrl, Ipv4Pattern, "<IP>").as("text_redacted"))
   }
 
   /** The composed curation verdict — every per-doc signal this package

@@ -19,6 +19,9 @@ import org.apache.spark.sql.functions._
   *   CorpusCli curate         <docs.parquet> <out>   (shared-gram + rarity signals)
   *   CorpusCli source-cap     <docs.parquet> <out> [maxPerSource] [salt]
   *   CorpusCli ann            <emb.parquet> <queries.parquet> <out> [k] [nprobe]
+  *   CorpusCli redact         <docs.parquet> <out>   (PII scrub: email/URL/IP)
+  *   CorpusCli dedup-incremental <warehouse> <batchId> <batch.parquet> <out> [minEstJaccard]
+  *   CorpusCli curate-stream  <docsDir> <out> <checkpointDir>
   *
   * Every command is a straight mapping onto one `graft.ops` operator, so
   * the CLI adds no semantics — it only binds IO.
@@ -101,6 +104,27 @@ object CorpusCli {
           write(Curation.capPerSourceVerified(spark.read.parquet(in),
             maxPerSource = cap, salt = salt), out))
 
+      case "redact" =>
+        val Seq(in, out) = args.slice(1, 3)
+        summary("redact", out,
+          write(Curation.redactPii(spark.read.parquet(in)), out))
+
+      case "dedup-incremental" =>
+        // <warehouse> <batchId> <batch.parquet> <out> [minEstJaccard]
+        val Seq(wh, batchId, in, out) = args.slice(1, 5)
+        val minEst = if (args.length > 5) args(5).toDouble else 0.9
+        val store = new graft.store.SnapshotStore(wh)
+        summary("dedup-incremental", out,
+          write(graft.ops.IncrementalDedup.ingestBatch(
+            store, batchId, spark.read.parquet(in), minEst), out))
+
+      case "curate-stream" =>
+        // <docsDir> <out> <checkpointDir> — one AvailableNow drain;
+        // repeated invocations resume the seen-content state
+        val Seq(in, out, ck) = args.slice(1, 4)
+        graft.streaming.StreamingCuration.runOnce(in, out, ck)
+        summary("curate-stream", out, spark.read.parquet(out).count())
+
       case "ann" =>
         val Seq(in, queries, out) = args.slice(1, 4)
         val k = if (args.length > 4) args(4).toInt else 10
@@ -113,7 +137,7 @@ object CorpusCli {
         throw new IllegalArgumentException(
           s"unknown command '$other' " +
             "(dedup-exact|dedup-clusters|decontaminate|split|pack|quality|" +
-            "curate|source-cap|ann)")
+            "curate|source-cap|ann|redact|dedup-incremental|curate-stream)")
     }
   }
 

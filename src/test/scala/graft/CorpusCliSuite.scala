@@ -91,4 +91,39 @@ class CorpusCliSuite extends SparkFunSuite {
     assert(res.count() > 0)
     assert(res.columns.toSet == Set("query_id", "neighbor_id", "cosine", "rank"))
   }
+
+  test("redact command scrubs spliced PII") {
+    Seq((9L, "ping admin@ops.example or visit https://ops.example/x at 10.1.2.3"))
+      .toDF("doc_id", "text").write.mode("overwrite").parquet(s"$dir/pii")
+    CorpusCli.run(Seq("redact", s"$dir/pii", s"$dir/redacted"), spark)
+    val r = spark.read.parquet(s"$dir/redacted")
+      .select("text_redacted").as[String].collect().head
+    assert(r == "ping <EMAIL> or visit <URL> at <IP>", r)
+  }
+
+  test("dedup-incremental command annotates a batch against the committed index") {
+    val wh = s"$dir/incwh"
+    val o1 = CorpusCli.run(Seq("dedup-incremental", wh, "day1", s"$dir/docs",
+      s"$dir/inc1", "0.9"), spark)
+    assert(o1.head.contains("\"rows\":3"), o1.head)
+    // same content arriving as a later batch: flagged, nothing re-admitted
+    Seq((80L, "the quick brown fox jumps over the lazy dog near the river bank today"))
+      .toDF("doc_id", "text").write.mode("overwrite").parquet(s"$dir/day2")
+    CorpusCli.run(Seq("dedup-incremental", wh, "day2", s"$dir/day2",
+      s"$dir/inc2", "0.9"), spark)
+    val acc = spark.read.parquet(s"$dir/inc2")
+      .select("doc_id", "accepted").as[(Long, Boolean)].collect().toMap
+    assert(acc == Map(80L -> false))
+  }
+
+  test("curate-stream command drains a doc stream with online dedup") {
+    Seq((0L, "alpha beta gamma delta"), (1L, "alpha beta gamma delta"))
+      .toDF("doc_id", "text").write.mode("overwrite").parquet(s"$dir/stream-in")
+    val out = CorpusCli.run(Seq("curate-stream", s"$dir/stream-in",
+      s"$dir/stream-out", s"$dir/stream-ck"), spark)
+    assert(out.head.contains("\"rows\":2"), out.head)
+    val novel = spark.read.parquet(s"$dir/stream-out")
+      .select("doc_id", "novel").as[(Long, Boolean)].collect().toMap
+    assert(novel == Map(0L -> true, 1L -> false))
+  }
 }

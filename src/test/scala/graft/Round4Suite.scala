@@ -260,6 +260,69 @@ class Round4Suite extends SparkFunSuite {
     assert(store.latest(IncrementalDedup.SigTable).get.inputPartitions == Seq("b1", "b2"))
   }
 
+  // ---- Incremental canonicalization ---------------------------------------
+
+  test("incremental canon: contract+relabel equals global CC on random splits") {
+    import graft.canon.{Canon, IncrementalCanon}
+    val rnd = new scala.util.Random(7)
+    for (trial <- 0 until 3) {
+      // random sparse graph on 40 nodes; random 2-batch split of the edges
+      val edges = (0 until 45).map { _ =>
+        (rnd.nextInt(40).toLong, rnd.nextInt(40).toLong)
+      }.filter { case (a, b) => a != b }.distinct
+      val (b1, b2) = edges.partition(_ => rnd.nextBoolean())
+      val all = edges.toDF("id_a", "id_b")
+      val global = Canon.connectedComponentsAuto(all)
+        .as[(Long, Long)].collect().toMap
+
+      val committed = Canon.connectedComponentsAuto(b1.toDF("id_a", "id_b"))
+      val (inc, relabel) = IncrementalCanon.updateWithRelabel(
+        committed, b2.toDF("id_a", "id_b"))
+      val got = inc.as[(Long, Long)].collect()
+      assert(got.length == got.map(_._1).distinct.length, s"dup ids trial $trial")
+      assert(got.toMap == global, s"trial $trial mismatch")
+      // relabel only carries representatives whose label changed
+      val rl = relabel.as[(Long, Long)].collect()
+      assert(rl.forall { case (old, nu) => old != nu })
+    }
+  }
+
+  test("incremental canon: new ids, merges of two committed components") {
+    import graft.canon.{Canon, IncrementalCanon}
+    // committed: {1,2} and {5,6}; batch bridges them via NEW node 9 and
+    // adds a disjoint new pair {20,21}
+    val committed = Canon.connectedComponentsAuto(
+      Seq((1L, 2L), (5L, 6L)).toDF("id_a", "id_b"))
+    val updated = IncrementalCanon.update(committed,
+      Seq((2L, 9L), (9L, 6L), (20L, 21L)).toDF("id_a", "id_b"))
+      .as[(Long, Long)].collect().toMap
+    assert(updated == Map(1L -> 1L, 2L -> 1L, 5L -> 1L, 6L -> 1L, 9L -> 1L,
+      20L -> 20L, 21L -> 20L))
+  }
+
+  // ---- PII redaction -------------------------------------------------------
+
+  test("redactPii: ordered email→URL→IP rewrite with per-stage counts") {
+    import graft.ops.Curation
+    val docs = Seq(
+      (1L, "write to a.b-c@mail.example.org or x@y.io today"),
+      (2L, "fetch https://h.example/p?a=1 then http://h2/z b"),
+      (3L, "node 10.0.0.1 and 192.168.300.7 but not 1.2.3.4567"),
+      (4L, "mixed https://u:p@host.example/x and plain text")
+    ).toDF("doc_id", "text")
+    val r = Curation.redactPii(docs).collect()
+      .map(x => x.getLong(0) -> (x.getInt(1), x.getInt(2), x.getInt(3), x.getString(4))).toMap
+    assert(r(1L) == ((2, 0, 0, "write to <EMAIL> or <EMAIL> today")))
+    assert(r(2L) == ((0, 2, 0, "fetch <URL> then <URL> b")))
+    // the pattern doesn't range-check octets (300 matches) but \b kills
+    // 1.2.3.4567 (no boundary inside the digit run, backtracking included)
+    assert(r(3L) == ((0, 0, 2, "node <IP> and <IP> but not 1.2.3.4567")))
+    // ordered composition: the email pattern fires first INSIDE the
+    // credentialed URL (local part 'p', ':' is not local-part charset),
+    // then the URL rewrite absorbs the <EMAIL> placeholder
+    assert(r(4L) == ((1, 1, 0, "mixed <URL> and plain text")))
+  }
+
   // ---- Streaming corpus curation ------------------------------------------
 
   test("streaming curation: online exact dedup + quality gate survives restart") {
