@@ -20,9 +20,11 @@ import org.apache.spark.sql.functions._
   * q62 oracle re-checks independently via a recursive closure in SQL.
   *
   * Scale shape: the delta CC runs over ≤ 2·|batch| representative nodes
-  * — never O(corpus). The committed map is rewritten in ONE map-side
-  * pass (broadcast of the changed-representative relabel, bounded by the
-  * batch); the corpus-sized map never shuffles. At warehouse scale the
+  * — never O(corpus). The committed map is touched by exactly two
+  * map-side scans — restrict-to-batch (broadcast of the batch ids) and
+  * relabel (broadcast of the changed representatives) — and NEVER
+  * hash-shuffles; PlanQualitySuite pins zero exchanges on the map
+  * branch. At warehouse scale the
   * relabel frame is also the natural merge-on-read delta: commit it
   * next to the map and fold it in at read time instead of rewriting
   * (same pattern as `query/VectorIndex`).
@@ -52,14 +54,25 @@ object IncrementalCanon {
       implicit spark: SparkSession): (DataFrame, DataFrame) = {
     val m = canonMap.select(col("id"), col("canonical_id"))
 
-    // 1. contract: project each endpoint through the committed map
-    //    (identity for ids the map has never seen)
+    // 0. restrict the committed map to the batch's ids by BROADCASTING the
+    //    batch id set — the corpus-sized map streams map-side through one
+    //    scan and never shuffles (joining the other way round would
+    //    hash-exchange the whole map on id). Everything downstream of this
+    //    line is bounded by the batch.
+    val batchIds = newPairs.select(col("id_a").as("id"))
+      .union(newPairs.select(col("id_b").as("id")))
+      .distinct()
+      .localCheckpoint()
+    val mBatch = m.join(broadcast(batchIds), Seq("id")).localCheckpoint()
+
+    // 1. contract: project each endpoint through the (restricted) map —
+    //    identity for ids the map has never seen
     val contracted = newPairs
       .select(col("id_a"), col("id_b"))
-      .join(m.select(col("id").as("id_a"), col("canonical_id").as("rep_a")),
-        Seq("id_a"), "left")
-      .join(m.select(col("id").as("id_b"), col("canonical_id").as("rep_b")),
-        Seq("id_b"), "left")
+      .join(broadcast(mBatch.select(col("id").as("id_a"),
+        col("canonical_id").as("rep_a"))), Seq("id_a"), "left")
+      .join(broadcast(mBatch.select(col("id").as("id_b"),
+        col("canonical_id").as("rep_b"))), Seq("id_b"), "left")
       .select(
         coalesce(col("rep_a"), col("id_a")).as("id_a"),
         coalesce(col("rep_b"), col("id_b")).as("id_b"))
@@ -79,13 +92,12 @@ object IncrementalCanon {
       .select(col("id"),
         coalesce(col("new_label"), col("canonical_id")).as("canonical_id"))
 
-    // 4. ids first seen in this batch: they are their own representative
-    //    in the contracted graph, so the relabel already carries their
-    //    final label (identity when they ARE the new minimum)
-    val newRows = newPairs.select(col("id_a").as("id"))
-      .union(newPairs.select(col("id_b").as("id")))
-      .distinct()
-      .join(m.select("id"), Seq("id"), "left_anti")
+    // 4. ids first seen in this batch (absent from the restricted map):
+    //    they are their own representative in the contracted graph, so the
+    //    relabel already carries their final label (identity when they ARE
+    //    the new minimum). Batch-sized frames on both sides.
+    val newRows = batchIds
+      .join(mBatch.select("id"), Seq("id"), "left_anti")
       .join(broadcast(relabel.withColumnRenamed("canonical_id", "id")),
         Seq("id"), "left")
       .select(col("id"), coalesce(col("new_label"), col("id")).as("canonical_id"))

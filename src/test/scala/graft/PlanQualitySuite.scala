@@ -211,4 +211,42 @@ class PlanQualitySuite extends SparkFunSuite {
     assert(plan.linesIterator.count(_.matches("""\(\d+\) Exchange\s*""")) == 1,
       plan.take(2000))
   }
+
+  test("q61 PII redaction: UDF-free narrow projection, zero exchanges") {
+    val plan = planOf(SparkEntry.queries("q61_redact_pii")(spark, dir))
+    assert(!plan.contains("BatchEvalPython") && !plan.contains("ScalaUDF"),
+      "redaction must stay pure codegen'd regexp expressions:\n" + plan.take(2000))
+    assert(!plan.contains("Exchange"), "redaction must not shuffle")
+  }
+
+  test("incremental canon: the corpus-sized map never hash-shuffles (broadcast joins only)") {
+    import spark.implicits._
+    // map plays the corpus side; the batch is two pairs
+    val canonMap = (0L until 200L).map(i => (i, i / 4 * 4)).toDF("id", "canonical_id")
+    val pairs = Seq((3L, 9L), (500L, 501L)).toDF("id_a", "id_b")
+    val (updated, _) = graft.canon.IncrementalCanon.updateWithRelabel(canonMap, pairs)
+    val plan = planOf(updated)
+    assert(!plan.contains("SortMergeJoin"),
+      "map-side branches must broadcast, not sort-merge:\n" + plan.take(3000))
+    assert(!plan.contains("Exchange hashpartitioning"),
+      "the committed map must never hash-shuffle:\n" + plan.take(3000))
+    assert(plan.contains("BroadcastHashJoin"), plan.take(3000))
+  }
+
+  test("incremental dedup: the committed side joins pre-banded signatures, no text rehash") {
+    import spark.implicits._
+    val sigs = graft.ops.Dedup.signatures(
+      Seq((1L, "alpha beta gamma delta epsilon zeta")).toDF("doc_id", "text"), "doc_id")
+      .localCheckpoint()
+    val batch = Seq((2L, "alpha beta gamma delta epsilon zeta")).toDF("doc_id", "text")
+    val plan = planOf(graft.ops.IncrementalDedup.annotateAgainst(sigs, batch))
+    // the committed side must enter as STORED signature arrays (the
+    // checkpoint scan), not as text re-hashed through the minhash UDF —
+    // at 100 TB that difference is the whole point of the operator
+    assert(plan.contains("Scan ExistingRDD"),
+      "committed signatures must come from the stored frame:\n" + plan.take(3000))
+    // banding on both sides is pure array slicing (explode of slices)
+    assert("explode".r.findAllIn(plan).size >= 2,
+      "both sides must band via array slicing:\n" + plan.take(2000))
+  }
 }
