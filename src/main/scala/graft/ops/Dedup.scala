@@ -70,24 +70,14 @@ object Dedup {
   val Bands = 8
   val RowsPerBand = NumHashes / Bands
 
+  /** UDF form of the minhash kernel — kept for API compatibility; it
+    * delegates to the SAME [[graft.functions.MinHashSig.compute]] kernel
+    * as the codegen'd native expression, so the two paths cannot diverge.
+    * New code should use [[graft.functions.MinHashSig.sig]] (UDF-free).
+    */
   val minhashUdf = udf { (text: String) =>
-    if (text == null) Array.fill(NumHashes)(Long.MaxValue)
-    else {
-      val words = text.toLowerCase(java.util.Locale.ROOT).split("\\s+")
-      val sigs = Array.fill(NumHashes)(Long.MaxValue)
-      var i = 0
-      while (i + 2 < words.length) {
-        val shingle = (words(i) + " " + words(i + 1) + " " + words(i + 2)).hashCode.toLong
-        var k = 0
-        while (k < NumHashes) {
-          val h = mix64(shingle ^ mix64(k.toLong))
-          if (h < sigs(k)) sigs(k) = h
-          k += 1
-        }
-        i += 1
-      }
-      sigs
-    }
+    if (text == null) graft.functions.MinHashSig.nullSig()
+    else graft.functions.MinHashSig.compute(text)
   }
 
   /** LSH candidate pairs: docs sharing ANY band of minhash values.
@@ -115,7 +105,8 @@ object Dedup {
     * ~1 % of corpus bytes at web-document sizes).
     */
   private[graft] def signatures(docs: DataFrame, idCol: String): DataFrame =
-    docs.select(col(idCol).as("id"), minhashUdf(col("text")).as("sig"))
+    docs.select(col(idCol).as("id"),
+      graft.functions.MinHashSig.sig(col("text")).as("sig"))
 
   /** Re-derive the 8×4 banding from stored signatures — array slicing
     * only, so reading a committed signature table back into banded form

@@ -300,6 +300,41 @@ class Round4Suite extends SparkFunSuite {
       20L -> 20L, 21L -> 20L))
   }
 
+  // ---- native minhash expression ------------------------------------------
+
+  test("MinHashSig expression == minhashUdf on nulls, empties, and real text") {
+    import graft.ops.Dedup
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, ""), (3L, null.asInstanceOf[String]), (4L, "one two"),
+      (5L, "ONE two THREE four")
+    ).toDF("doc_id", "text")
+    // forbid silent interpreted fallback: if doGenCode emits invalid
+    // Java, this collect must THROW, not quietly eval row-by-row
+    val viaExpr =
+      try {
+        spark.conf.set("spark.sql.codegen.fallback", "false")
+        docs.select($"doc_id", graft.functions.MinHashSig.sig($"text").as("sig"))
+          .as[(Long, Seq[Long])].collect().toMap
+      } finally spark.conf.set("spark.sql.codegen.fallback", "true")
+    val viaUdf = docs.select($"doc_id", Dedup.minhashUdf($"text").as("sig"))
+      .as[(Long, Seq[Long])].collect().toMap
+    assert(viaExpr == viaUdf)
+    // null + too-short docs yield the MaxValue sentinel, never null
+    assert(viaExpr(3L).forall(_ == Long.MaxValue))
+    assert(viaExpr(4L).forall(_ == Long.MaxValue))
+    // interpreted eval path (codegen fallback) agrees too
+    val row = org.apache.spark.sql.catalyst.InternalRow(
+      org.apache.spark.unsafe.types.UTF8String.fromString(
+        "the quick brown fox jumps over the lazy dog"))
+    val e = graft.functions.MinHashSig(
+      org.apache.spark.sql.catalyst.expressions.BoundReference(0,
+        org.apache.spark.sql.types.StringType, nullable = true))
+    val interp = e.eval(row)
+      .asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData].toLongArray.toSeq
+    assert(interp == viaExpr(1L))
+  }
+
   // ---- PII redaction -------------------------------------------------------
 
   test("redactPii: ordered email→URL→IP rewrite with per-stage counts") {
