@@ -58,13 +58,7 @@ object Dedup {
 
   // --- MinHash -------------------------------------------------------
 
-  /** Word 3-shingles → 32 minhashes (splitmix-scrambled), banded 8×4. */
-  private def mix64(z0: Long): Long = {
-    var z = z0 + 0x9e3779b97f4a7c15L
-    z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
-    z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
-    z ^ (z >>> 31)
-  }
+  // (the splitmix64 scrambler lives in graft.functions.{MinHashSig,SimHashSig})
 
   val NumHashes = 32
   val Bands = 8
@@ -147,23 +141,12 @@ object Dedup {
 
   // --- SimHash -------------------------------------------------------
 
+  /** UDF form of the simhash kernel — kept for API compatibility;
+    * delegates to the same [[graft.functions.SimHashSig.compute]] kernel
+    * as the codegen'd native expression (see the MinHash note above).
+    */
   val simhashUdf = udf { (text: String) =>
-    if (text == null) 0L
-    else {
-      val counts = new Array[Int](64)
-      for (w <- text.toLowerCase(java.util.Locale.ROOT).split("\\s+") if w.nonEmpty) {
-        val h = mix64(w.hashCode.toLong)
-        var bit = 0
-        while (bit < 64) {
-          if (((h >>> bit) & 1L) == 1L) counts(bit) += 1 else counts(bit) -= 1
-          bit += 1
-        }
-      }
-      var sig = 0L
-      var bit = 0
-      while (bit < 64) { if (counts(bit) > 0) sig |= (1L << bit); bit += 1 }
-      sig
-    }
+    if (text == null) 0L else graft.functions.SimHashSig.compute(text)
   }
 
   /** SimHash near-dup pairs: bucket by each of 4 16-bit chunks (docs within
@@ -176,7 +159,8 @@ object Dedup {
     // checkpoint the signature stage once — the chunked frame has three
     // consumers (bucket sizing, capped join, self-join) that would each
     // re-run the per-word 64-bit hash fold otherwise
-    val sigs = docs.select(col(idCol).as("id"), simhashUdf(col("text")).as("sig"))
+    val sigs = docs.select(col(idCol).as("id"),
+      graft.functions.SimHashSig.sig(col("text")).as("sig"))
       .localCheckpoint()
     val allChunked = sigs.select(
       col("id"), col("sig"),

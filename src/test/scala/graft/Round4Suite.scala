@@ -335,6 +335,24 @@ class Round4Suite extends SparkFunSuite {
     assert(interp == viaExpr(1L))
   }
 
+  test("SimHashSig expression == simhashUdf, codegen fallback forbidden") {
+    import graft.ops.Dedup
+    val docs = Seq(
+      (1L, "the quick brown fox"), (2L, ""), (3L, null.asInstanceOf[String]),
+      (4L, "Mixed CASE words repeat words")
+    ).toDF("doc_id", "text")
+    val viaExpr =
+      try {
+        spark.conf.set("spark.sql.codegen.fallback", "false")
+        docs.select($"doc_id", graft.functions.SimHashSig.sig($"text").as("sig"))
+          .as[(Long, Long)].collect().toMap
+      } finally spark.conf.set("spark.sql.codegen.fallback", "true")
+    val viaUdf = docs.select($"doc_id", Dedup.simhashUdf($"text").as("sig"))
+      .as[(Long, Long)].collect().toMap
+    assert(viaExpr == viaUdf)
+    assert(viaExpr(3L) == 0L)
+  }
+
   // ---- PII redaction -------------------------------------------------------
 
   test("redactPii: ordered email→URL→IP rewrite with per-stage counts") {
