@@ -357,7 +357,10 @@ object SparkEntry {
       // index), odds the arriving batch — each odd doc annotated with its
       // best committed near-dup (est ≥ 0.5) without re-reading even text
       val docs = t(s, dir, "documents")
+      // checkpoint the committed-side signatures: capBuckets reads the
+      // banded frame twice (sizes + kept-join) and must not re-hash text
       val existing = Dedup.signatures(docs.filter(col("doc_id") % 2 === 0), "doc_id")
+        .localCheckpoint()
       graft.ops.IncrementalDedup.annotateAgainst(
         existing, docs.filter(col("doc_id") % 2 === 1), minEstJaccard = 0.5)
     }),

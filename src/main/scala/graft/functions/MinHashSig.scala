@@ -74,15 +74,6 @@ case class MinHashSig(child: Expression) extends UnaryExpression {
 object MinHashSig {
   val NumHashes = 32
 
-  /** splitmix64 finalizer — the hash family scrambler (public domain
-    * constant schedule; same kernel the UDF used since round 2).
-    */
-  private def mix64(z0: Long): Long = {
-    var z = z0 + 0x9e3779b97f4a7c15L
-    z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
-    z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
-    z ^ (z >>> 31)
-  }
 
   /** The signature of a NULL/absent document: all MaxValue (matches no
     * non-degenerate band except other sentinels').
@@ -100,7 +91,7 @@ object MinHashSig {
       val shingle = (words(i) + " " + words(i + 1) + " " + words(i + 2)).hashCode.toLong
       var k = 0
       while (k < NumHashes) {
-        val h = mix64(shingle ^ mix64(k.toLong))
+        val h = SplitMix64.mix(shingle ^ SplitMix64.mix(k.toLong))
         if (h < sigs(k)) sigs(k) = h
         k += 1
       }

@@ -52,18 +52,12 @@ case class SimHashSig(child: Expression) extends UnaryExpression {
 
 object SimHashSig {
 
-  private def mix64(z0: Long): Long = {
-    var z = z0 + 0x9e3779b97f4a7c15L
-    z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
-    z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
-    z ^ (z >>> 31)
-  }
 
   /** Per-word sign-vote SimHash — THE single kernel for UDF and codegen. */
   def compute(text: String): Long = {
     val counts = new Array[Int](64)
     for (w <- text.toLowerCase(java.util.Locale.ROOT).split("\\s+") if w.nonEmpty) {
-      val h = mix64(w.hashCode.toLong)
+      val h = SplitMix64.mix(w.hashCode.toLong)
       var bit = 0
       while (bit < 64) {
         if (((h >>> bit) & 1L) == 1L) counts(bit) += 1 else counts(bit) -= 1

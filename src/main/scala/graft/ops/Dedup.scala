@@ -64,6 +64,13 @@ object Dedup {
   val Bands = 8
   val RowsPerBand = NumHashes / Bands
 
+  /** Estimated Jaccard from signature agreement — the ONE copy shared by
+    * minhashLsh / crossContamination / dedupClusters / IncrementalDedup.
+    */
+  private[graft] val estJaccardUdf = udf { (x: Seq[Long], y: Seq[Long]) =>
+    x.zip(y).count { case (u, v) => u == v }.toDouble / NumHashes
+  }
+
   /** UDF form of the minhash kernel — kept for API compatibility; it
     * delegates to the SAME [[graft.functions.MinHashSig.compute]] kernel
     * as the codegen'd native expression, so the two paths cannot diverge.
@@ -129,12 +136,9 @@ object Dedup {
 
     val a = banded.select(col("band"), col("bucket"), col("id").as("id_a"), col("sig").as("sig_a"))
     val b = banded.select(col("band"), col("bucket"), col("id").as("id_b"), col("sig").as("sig_b"))
-    val simUdf = udf { (x: Seq[Long], y: Seq[Long]) =>
-      x.zip(y).count { case (u, v) => u == v }.toDouble / NumHashes
-    }
     a.join(b, Seq("band", "bucket"))
       .filter(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"), simUdf(col("sig_a"), col("sig_b")).as("est_jaccard"))
+      .select(col("id_a"), col("id_b"), estJaccardUdf(col("sig_a"), col("sig_b")).as("est_jaccard"))
       .groupBy("id_a", "id_b")
       .agg(max("est_jaccard").as("est_jaccard"))
   }
@@ -280,14 +284,11 @@ object Dedup {
       Seq("band", "bucket"), bucketCap)
     logDropped("crossContamination", droppedB)
     val b = minhashBanded(benchmark, idCol)
-    val simUdf = udf { (x: Seq[Long], y: Seq[Long]) =>
-      x.zip(y).count { case (u, v) => u == v }.toDouble / NumHashes
-    }
     c.select(col("band"), col("bucket"), col("id").as("corpus_id"), col("sig").as("sig_c"))
       .join(b.select(col("band"), col("bucket"), col("id").as("benchmark_id"),
         col("sig").as("sig_b")), Seq("band", "bucket"))
       .select(col("corpus_id"), col("benchmark_id"),
-        simUdf(col("sig_c"), col("sig_b")).as("est_jaccard"))
+        estJaccardUdf(col("sig_c"), col("sig_b")).as("est_jaccard"))
       .groupBy("corpus_id", "benchmark_id")
       .agg(max("est_jaccard").as("est_jaccard"))
       .filter(col("est_jaccard") >= minEstJaccard)
@@ -321,8 +322,22 @@ object Dedup {
       minEstJaccard: Double = 0.5,
       idCol: String = "doc_id",
       bucketCap: Long = 10000L
+  )(implicit spark: SparkSession): DataFrame =
+    dedupClustersFromSigs(
+      signatures(docs, idCol).localCheckpoint(), minEstJaccard, bucketCap)
+
+  /** [[dedupClusters]] over an already-computed `(id, sig)` signature
+    * frame — the entry the incremental path uses so an arriving batch is
+    * hashed exactly once ([[IncrementalDedup.ingestBatch]] needs both the
+    * within-batch clusters AND the vs-committed annotation from the same
+    * signatures).
+    */
+  private[graft] def dedupClustersFromSigs(
+      sigs: DataFrame,
+      minEstJaccard: Double,
+      bucketCap: Long
   )(implicit spark: SparkSession): DataFrame = {
-    val allBanded = minhashBanded(docs, idCol)
+    val allBanded = bandify(sigs)
     val sizes = allBanded.groupBy("band", "bucket")
       .agg(count(lit(1)).as("__bn"), min(col("id")).as("__mn"))
 
@@ -332,12 +347,9 @@ object Dedup {
       Seq("band", "bucket"))
     val a = small.select(col("band"), col("bucket"), col("id").as("id_a"), col("sig").as("sig_a"))
     val b = small.select(col("band"), col("bucket"), col("id").as("id_b"), col("sig").as("sig_b"))
-    val simUdf = udf { (x: Seq[Long], y: Seq[Long]) =>
-      x.zip(y).count { case (u, v) => u == v }.toDouble / NumHashes
-    }
     val verified = a.join(b, Seq("band", "bucket"))
       .filter(col("id_a") < col("id_b"))
-      .filter(simUdf(col("sig_a"), col("sig_b")) >= minEstJaccard)
+      .filter(estJaccardUdf(col("sig_a"), col("sig_b")) >= minEstJaccard)
       .select(col("id_a"), col("id_b"))
 
     // giant buckets: star-link members to the bucket minimum — O(m)
@@ -349,7 +361,7 @@ object Dedup {
 
     val cc = graft.canon.Canon.connectedComponents(
       verified.union(star).distinct())
-    val asgn = docs.select(col(idCol).as("doc_id"))
+    val asgn = sigs.select(col("id").as("doc_id"))
       .join(cc.withColumnRenamed("id", "doc_id"), Seq("doc_id"), "left")
       .select(col("doc_id"),
         coalesce(col("canonical_id"), col("doc_id")).as("cluster_id"))

@@ -44,9 +44,7 @@ object IncrementalDedup {
     val (ex, dropped) =
       Dedup.capBuckets(Dedup.bandify(existingSigs), Seq("band", "bucket"), bucketCap)
     Dedup.logDropped("incrementalDedup", dropped)
-    val sim = udf { (x: Seq[Long], y: Seq[Long]) =>
-      x.zip(y).count { case (u, v) => u == v }.toDouble / Dedup.NumHashes
-    }
+    val sim = Dedup.estJaccardUdf
     val hits = Dedup.bandify(batchSigs)
       .select(col("band"), col("bucket"), col("id").as("batch_id"),
         col("sig").as("sig_b"))
@@ -78,18 +76,29 @@ object IncrementalDedup {
     * doc: `(doc_id, cluster_id, n_members, keep, dup_of, est_jaccard,
     * accepted)` where `accepted` = batch-cluster keeper with no committed
     * near-dup — the rows whose signatures were appended to the index.
-    * Re-invoking with an already-committed `batchId` recomputes the
-    * annotation (idempotent reads) but skips the append.
+    * Re-invoking with an already-committed `batchId` reproduces the
+    * ORIGINAL annotation (the batch's own committed signatures are
+    * excluded from the match side) and skips the append — a crashed run
+    * re-executes to identical output.
     */
   def ingestBatch(store: SnapshotStore, batchId: String, batch: DataFrame,
       minEstJaccard: Double = 0.9, idCol: String = "doc_id",
       bucketCap: Long = 10000L)(implicit spark: SparkSession): DataFrame = {
+    // hash the batch exactly once: clusters AND the vs-committed
+    // annotation both read this checkpointed signature frame
     val batchSigs = Dedup.signatures(batch, idCol).localCheckpoint()
-    val clusters = Dedup.dedupClusters(batch, minEstJaccard, idCol, bucketCap)
+    val clusters = Dedup.dedupClustersFromSigs(batchSigs, minEstJaccard, bucketCap)
     val existing = store.latest(SigTable)
     val annotated0 = existing match {
       case Some(_) =>
-        annotateSigs(store.read(SigTable), batchSigs, minEstJaccard, bucketCap)
+        // exclude the batch's OWN committed signatures (broadcast of the
+        // batch id set; the corpus-sized index never shuffles for it) —
+        // otherwise re-running an already-committed batch self-matches
+        // every doc at est 1.0 and flips its accepted rows to false,
+        // breaking the resume contract below
+        val others = store.read(SigTable)
+          .join(broadcast(batchSigs.select("id")), Seq("id"), "left_anti")
+        annotateSigs(others, batchSigs, minEstJaccard, bucketCap)
       case None =>
         batchSigs.select(col("id").as("doc_id"),
           lit(null).cast("long").as("dup_of"),

@@ -67,16 +67,10 @@ object Similarity {
     */
   val NumPlanes = 16
 
-  private def mix64(z0: Long): Long = {
-    var z = z0 + 0x9e3779b97f4a7c15L
-    z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
-    z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
-    z ^ (z >>> 31)
-  }
 
   /** Pseudo-random plane component for (plane p, dimension d) in [-1, 1). */
   private def planeComponent(p: Int, d: Int): Double =
-    (mix64(p.toLong * 0x9e37L ^ d.toLong) >>> 11).toDouble / (1L << 52).toDouble - 1.0
+    (graft.functions.SplitMix64.mix(p.toLong * 0x9e37L ^ d.toLong) >>> 11).toDouble / (1L << 52).toDouble - 1.0
 
   def signatureOf(v: Seq[Float], planes: Int): Int = {
     if (v == null || v.isEmpty) return 0

@@ -123,7 +123,11 @@ object CorpusCli {
         // repeated invocations resume the seen-content state
         val Seq(in, out, ck) = args.slice(1, 4)
         graft.streaming.StreamingCuration.runOnce(in, out, ck)
-        summary("curate-stream", out, spark.read.parquet(out).count())
+        // an empty source drains zero micro-batches and never creates the
+        // sink dir — report rows:0 instead of failing the read
+        val n = if (new java.io.File(out).exists) spark.read.parquet(out).count()
+                else 0L
+        summary("curate-stream", out, n)
 
       case "ann" =>
         val Seq(in, queries, out) = args.slice(1, 4)

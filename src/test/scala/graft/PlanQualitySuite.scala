@@ -260,4 +260,15 @@ class PlanQualitySuite extends SparkFunSuite {
       "signature build must not pay the UDF boundary:\n" + plan.take(2000))
     assert(plan.contains("graft_minhash_sig"), plan.take(2000))
   }
+
+  test("simhash signatures are a native codegen'd expression, not a ScalaUDF") {
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val plan = planOf(docs.select(
+      org.apache.spark.sql.functions.col("doc_id"),
+      graft.functions.SimHashSig.sig(org.apache.spark.sql.functions.col("text"))
+        .as("sig")))
+    assert(!plan.contains("ScalaUDF"),
+      "signature build must not pay the UDF boundary:\n" + plan.take(2000))
+    assert(plan.contains("graft_simhash_sig"), plan.take(2000))
+  }
 }

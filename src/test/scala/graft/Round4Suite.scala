@@ -250,12 +250,13 @@ class Round4Suite extends SparkFunSuite {
     assert(a2(11L) == ((None, true)))
     assert(store.read(IncrementalDedup.SigTable).count() == 3)
 
-    // re-ingesting batch 2 is a store no-op (resume semantics): doc 11 now
-    // matches its own committed signature, and NOTHING new is appended
+    // re-ingesting batch 2 (crash-resume) reproduces the ORIGINAL
+    // annotation — the batch's own committed signatures are excluded
+    // from the match side, so doc 11 stays accepted — and appends nothing
     val a3 = IncrementalDedup.ingestBatch(store, "b2", b2)
-      .select("doc_id", "dup_of").collect()
-      .map(r => r.getLong(0) -> Option(r.get(1)).map(_.asInstanceOf[Long])).toMap
-    assert(a3(10L) == Some(1L) && a3(11L) == Some(11L))
+      .select("doc_id", "dup_of", "accepted")
+      .collect().map(r => r.getLong(0) -> (Option(r.get(1)), r.getBoolean(2))).toMap
+    assert(a3 == a2, s"resume must be value-identical: $a3 vs $a2")
     assert(store.read(IncrementalDedup.SigTable).count() == 3)
     assert(store.latest(IncrementalDedup.SigTable).get.inputPartitions == Seq("b1", "b2"))
   }
