@@ -400,6 +400,47 @@ object SparkEntry {
         .select(col("doc_id"),
           coalesce(col("canonical_id"), col("doc_id")).as("cluster_id"))
     }),
+    "q63_vector_migrate" -> ((s, dir) => {
+      implicit val sp = s
+      // S7 migration job (vec/migrate.py): build a source index from the
+      // fixture embeddings, tombstone every 10th vector (so the migration
+      // resolves merge-on-read state, not raw deltas), then migrate with a
+      // re-embed transform (slice to 8 dims). Output = the DESTINATION
+      // index resolved — the oracle re-derives it from the parquet alone
+      val emb = s.read.parquet(s"$dir/embeddings.parquet")
+      val wh = java.nio.file.Files.createTempDirectory("graft-q63").toString
+      val store = new graft.store.SnapshotStore(wh)
+      val src = new graft.query.VectorIndex(store, "vi_src")
+      val dst = new graft.query.VectorIndex(store, "vi_dst")
+      src.upsert(emb.select(col("vec_id").cast("string").as("id"), col("embedding")))
+      src.remove(emb.filter(col("vec_id") % 10 === 0)
+        .select(col("vec_id").cast("string").as("id")))
+      graft.query.VectorMigrate.migrate(src, dst,
+        transform = df => df.select(col("id"),
+          slice(col("embedding"), 1, 8).as("embedding")),
+        expectDim = Some(8))
+      dst.read().select(col("id"), size(col("embedding")).as("dim"),
+        element_at(col("embedding"), 1).as("e0"))
+    }),
+    "q64_session_retrieval" -> ((s, dir) => {
+      implicit val sp = s
+      // session-scoped online retrieval (service.py:724-785): three
+      // fixture documents play conversation messages across two sessions;
+      // session B is expired, then session A is searched. Deterministic
+      // hash embeddings → deterministic ranking; no SQL oracle (the
+      // chunker + embedding are not SQL-expressible) → rows-only check
+      val wh = java.nio.file.Files.createTempDirectory("graft-q64").toString
+      val store = new graft.store.SnapshotStore(wh)
+      val si = new graft.query.SessionIndex(store)
+      val msgs = t(s, dir, "documents").orderBy("doc_id").limit(3)
+        .select("text").collect().map(_.getString(0))
+      si.ingestMessage(msgs(0), "sess-a", "user", nowMillis = 1L)
+      si.ingestMessage(msgs(1), "sess-a", "assistant", nowMillis = 2L)
+      si.ingestMessage(msgs(2), "sess-b", "user", nowMillis = 3L)
+      si.expire("sess-b")
+      si.search("sess-a", msgs(0).take(80), topK = 5, nowMillis = 4L)
+        .select(col("id"), col("role"), round(col("score"), 6).as("score"))
+    }),
     "q53_pack_shards" -> ((s, dir) =>
       graft.ops.Sampling.packShards(
         t(s, dir, "documents")
@@ -1154,9 +1195,20 @@ object SparkEntry {
         |      PARTITION BY bucket ORDER BY doc_id
         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS tok_before
         |  FROM b)
-        |SELECT doc_id, bucket * 4294967296 + tok_before // 1000 AS shard_id,
+        |SELECT doc_id,
+        |  -- CAST: DuckDB types window-SUM results HUGEINT (int128); Spark
+        |  -- writes int64 — without the cast the driver's typed hasher
+        |  -- mismatches on identical values (round-4 adjudication)
+        |  CAST(bucket * 4294967296 + tok_before // 1000 AS BIGINT) AS shard_id,
         |  n_tokens
         |FROM p""".stripMargin,
+    "q63_vector_migrate" ->
+      // the destination index = the source's RESOLVED state (every 10th
+      // vector tombstoned) re-embedded to 8 dims; embedding[1] is float32
+      // on both engines, value-exact
+      """SELECT CAST(vec_id AS VARCHAR) AS id, CAST(8 AS INTEGER) AS dim,
+        |  embedding[1] AS e0
+        |FROM embeddings WHERE vec_id % 10 <> 0""".stripMargin,
     "q52_decontaminate" ->
       // benchmark banding re-derived by RE-KEYING the corpus banding —
       // the eval set's text (hence sigs, hence buckets) is identical to

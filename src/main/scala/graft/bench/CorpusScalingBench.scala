@@ -50,7 +50,9 @@ object CorpusScalingBench {
         var z = family * 131 + w + 0x9e3779b97f4a7c15L
         z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
         z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
-        sb.append(vocab(((z ^ (z >>> 31)) >>> 8 % Int.MaxValue).toInt.abs % vocab.length))
+        // mask to non-negative BEFORE the modulus: .toInt.abs can return
+        // Int.MinValue (still negative), crashing the array index
+        sb.append(vocab(((((z ^ (z >>> 31)) >>> 8).toInt) & 0x7fffffff) % vocab.length))
         sb.append(' ')
         w += 1
       }
@@ -67,6 +69,13 @@ object CorpusScalingBench {
     val docs = corpus(spark, nDocs).localCheckpoint()
     val bench = corpus(spark, nDocs).filter(col("doc_id") % 101 === 0)
       .withColumn("doc_id", col("doc_id") + 10000000L).localCheckpoint()
+    // incremental-dedup leg: first 80 % committed as batch b0, the rest
+    // arrives as batch b1 and is annotated against b0's signature index —
+    // the daily-crawl shape the operator exists for, timed at both widths
+    val storeDir = java.nio.file.Files
+      .createTempDirectory(s"graft-corpus-bench-$cpus-").toString
+    val store = new graft.store.SnapshotStore(storeDir)
+    val cut = nDocs * 8 / 10
     val t0 = System.nanoTime()
     val clusters = Dedup.dedupClusters(docs)
     val contam = Dedup.crossContamination(docs, bench)
@@ -74,10 +83,15 @@ object CorpusScalingBench {
     val shards = Sampling.packShards(
       docs.select(col("doc_id"), graft.ops.TextAnalysis.tokenCount(col("text")).as("n_tokens")),
       tokenBudget = 4096L)
+    val inc0 = graft.ops.IncrementalDedup.ingestBatch(
+      store, "b0", docs.filter(col("doc_id") < cut))
+    val inc1 = graft.ops.IncrementalDedup.ingestBatch(
+      store, "b1", docs.filter(col("doc_id") >= cut))
     def sig(df: DataFrame): Long =
       df.select(crc32(concat_ws("\u0001", df.columns.map(col): _*)).as("c"))
         .agg(sum("c")).collect()(0).getLong(0)
-    val checksum = sig(clusters) + sig(contam) + sig(splits) + sig(shards)
+    val checksum = sig(clusters) + sig(contam) + sig(splits) + sig(shards) +
+      sig(inc0.drop("est_jaccard")) + sig(inc1.drop("est_jaccard"))
     val wall = (System.nanoTime() - t0) / 1e9
     spark.stop()
     (wall, checksum)

@@ -19,6 +19,12 @@ object Bfs {
       seeds: DataFrame,
       maxDepth: Int = 2
   )(implicit spark: SparkSession): DataFrame = {
+    // shuffle width sized from the directed edge count (und ≤ 2×edges —
+    // a safe upper bound that lets the und distinct itself run INSIDE the
+    // scoped window; round 4 built und at session width first, paying a
+    // 32-task distinct + checkpoint before the window opened)
+    val edgeRows = edges.count()
+    graft.core.Loops.withShuffleWidth(spark, 2L * edgeRows) {
     // localCheckpoint: truncate the upstream plan once so each depth's join
     // plans against a leaf instead of re-optimizing the full pipeline tree.
     val und = edges
@@ -26,9 +32,6 @@ object Bfs {
       .union(edges.select(col("target_id").as("src"), col("source_id").as("dst")))
       .distinct()
       .localCheckpoint()
-
-    // shuffle width sized to the measured edge set (graft.core.Loops)
-    graft.core.Loops.withShuffleWidth(spark, und.count()) {
     var best = seeds.select(col("id")).distinct().withColumn("score", lit(1.0))
       .localCheckpoint()
     var frontier = best

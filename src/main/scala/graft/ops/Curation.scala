@@ -49,13 +49,18 @@ object Curation {
     * in C4 sit inside 60-token exact duplicates; the n-gram doc-frequency
     * is the bounded-memory version of that signal).
     *
-    * Scale shape (3 shuffles, all on hashed keys):
+    * Scale shape (all shuffles on hashed keys):
     *  1. distinct (doc, xxhash64(gram)) — dedups within-doc repeats so a
     *     pathological looping doc cannot inflate any gram's frequency;
-    *  2. window count over gram hash — the gram doc-frequency, computed
-    *     WITHOUT a join back (one exchange, then the per-doc aggregate
-    *     reuses the rows in place);
-    *  3. groupBy doc — partial+final aggregation.
+    *  2. gram doc-frequency via `groupBy(gh).count()` — PARTIAL
+    *     aggregation collapses even the hottest boilerplate gram
+    *     map-side, so no task ever holds a Zipf-head posting list (a
+    *     window over `gh` would put the hottest gram's ~corpus-size rows
+    *     in ONE task — the round-4 scale-killer this replaced);
+    *  3. join the counts back on gh — hot-key residual volume is the
+    *     already-collapsed count table (one row per gram), and AQE
+    *     skew-join splits the posting-list side of the head;
+    *  4. groupBy doc — partial+final aggregation.
     * Gram keys are 64-bit xxhash64 (codegen'd) so the shuffle carries
     * 8-byte keys, not 3-word strings; at ~4×10⁹ distinct grams the
     * birthday collision odds (~0.4) begin to overcount `n_shared` by
@@ -69,8 +74,12 @@ object Curation {
       .select(col("doc_id"), explode(gramsCol(col("__ws"), n)).as("gram"))
       .select(col("doc_id"), xxhash64(col("gram")).as("gh"))
       .distinct()
-    val withDf = docGram
-      .withColumn("df", count(lit(1)).over(Window.partitionBy("gh")))
+    // two consumers (the df aggregate and the join-back) share the SAME
+    // distinct subtree — Spark's ReuseExchange computes the explode +
+    // distinct shuffle once and feeds both branches from it, so no
+    // checkpoint (and no second pass over the text) is needed
+    val gramDf = docGram.groupBy("gh").agg(count(lit(1)).as("df"))
+    val withDf = docGram.join(gramDf, Seq("gh"))
     val perDoc = withDf.groupBy("doc_id").agg(
       count(lit(1)).cast("int").as("n_distinct_grams"),
       sum(when(col("df") >= 2, 1L).otherwise(0L)).cast("int").as("n_shared_grams"))
@@ -118,11 +127,18 @@ object Curation {
     val keyed = docs.select(col(idCol).as("doc_id"), col(srcCol).as("source"))
       .withColumn("__h", orderKey(col("doc_id"), salt))
       .withColumn("__hex", md5(concat(col("doc_id").cast("string"), lit(":" + salt))))
+    // one row per source. An explicit broadcast hint OVERRIDES the auto
+    // threshold, so it must be gated: a huge source universe would be
+    // collected to the driver. The gate is one cheap count over the
+    // already-aggregated frame (checkpointed so the join reuses it);
+    // over the gate, the plain join's source-key skew (a mega-domain's
+    // rows all hash to one reducer) is AQE-skew-split.
     val counts = keyed.groupBy("source").agg(count(lit(1)).as("__src_n"))
-    // one row per source — broadcast unless the source universe itself is
-    // huge, in which case Spark falls back to a shuffle join on its own
+      .localCheckpoint()
+    val countsSide =
+      if (counts.count() <= 1000000L) broadcast(counts) else counts
     val slack = maxPerSource + 8 * math.sqrt(maxPerSource.toDouble) + 64
-    val survivors = keyed.join(broadcast(counts), Seq("source"))
+    val survivors = keyed.join(countsSide, Seq("source"))
       .filter(col("__src_n") <= lit(prefilterAbove) ||
         col("__h") < (lit(slack) * lit(4294967296.0) / col("__src_n")).cast("long"))
     survivors
@@ -215,9 +231,15 @@ object Curation {
       maxSharedFraction: Double = 0.8,
       maxPerSource: Int = 10,
       keepLang: String = "en"): DataFrame = {
-    val keepExact = docs.select(col("doc_id"),
-      (col("doc_id") === min("doc_id").over(Window.partitionBy(md5(col("text")))))
-        .as("keep_exact"))
+    // exact-dup keeper via Dedup.exact's groupBy(hash).min shape — a
+    // window over md5(text) would put a 10⁶-copy boilerplate family in one
+    // task; the groupBy collapses it map-side (round-4 fix)
+    val keepExact = docs.select(col("doc_id")).join(
+      Dedup.exact(docs).select(col("keep_id").as("doc_id"),
+        lit(true).as("keep_exact")),
+      Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("keep_exact"), lit(false)).as("keep_exact"))
     val langOk = docs.select(col("doc_id"),
       (TextAnalysis.langIdUdf(col("text")) === keepLang).as("lang_ok"))
     val rep = TextAnalysis.repetition(docs).select(col("doc_id"),

@@ -56,12 +56,15 @@ object IncrementalDedup {
       .agg(max("est_jaccard").as("est_jaccard"))
       .filter(col("est_jaccard") >= minEstJaccard)
       // best match per batch doc: struct comparison is lexicographic, so
-      // max(est, -id) = highest estimate, then smallest existing id
+      // min(-est, id) = highest estimate, then smallest existing id.
+      // Negating the DOUBLE estimate (not the id) keeps the tie-break
+      // valid for ANY orderable id type — string-keyed corpora included
       .groupBy("batch_id")
-      .agg(max(struct(col("est_jaccard"), (-col("existing_id")).as("neg"))).as("best"))
+      .agg(min(struct((-col("est_jaccard")).as("neg_est"),
+        col("existing_id").as("eid"))).as("best"))
       .select(col("batch_id").as("doc_id"),
-        (-col("best.neg")).as("dup_of"),
-        col("best.est_jaccard").as("est_jaccard"))
+        col("best.eid").as("dup_of"),
+        (-col("best.neg_est")).as("est_jaccard"))
     batchSigs.select(col("id").as("doc_id")).join(hits, Seq("doc_id"), "left")
   }
 
@@ -76,10 +79,15 @@ object IncrementalDedup {
     * doc: `(doc_id, cluster_id, n_members, keep, dup_of, est_jaccard,
     * accepted)` where `accepted` = batch-cluster keeper with no committed
     * near-dup — the rows whose signatures were appended to the index.
-    * Re-invoking with an already-committed `batchId` reproduces the
-    * ORIGINAL annotation (the batch's own committed signatures are
-    * excluded from the match side) and skips the append — a crashed run
-    * re-executes to identical output.
+    * Re-invoking with an already-committed `batchId` skips the append
+    * (idempotent index state) and — PROVIDED no later batch committed in
+    * between — reproduces the ORIGINAL annotation: the batch's own
+    * committed signatures are excluded from the match side, so a crashed
+    * run re-executes to identical output. A delayed replay after
+    * subsequent commits still skips the append but annotates against the
+    * grown index (later batches' signatures match too); callers needing
+    * the historical annotation should read the snapshot whose
+    * inputPartitions precede `batchId` and use [[annotateAgainst]].
     */
   def ingestBatch(store: SnapshotStore, batchId: String, batch: DataFrame,
       minEstJaccard: Double = 0.9, idCol: String = "doc_id",
@@ -101,7 +109,7 @@ object IncrementalDedup {
         annotateSigs(others, batchSigs, minEstJaccard, bucketCap)
       case None =>
         batchSigs.select(col("id").as("doc_id"),
-          lit(null).cast("long").as("dup_of"),
+          lit(null).cast(batchSigs.schema("id").dataType).as("dup_of"),
           lit(null).cast("double").as("est_jaccard"))
     }
     val annotated = clusters.join(annotated0, Seq("doc_id"))

@@ -149,6 +149,27 @@ final class GraftService(store: SnapshotStore)(implicit spark: SparkSession) {
     Some(ExploreResult(sub, neighbors, linked))
   }
 
+  /** Session-scoped online retrieval (service.py:724-785 + the gateway
+    * composition over it): conversation messages index into an ephemeral
+    * per-session vector domain alongside the committed KG.
+    */
+  lazy val sessions: SessionIndex = new SessionIndex(store)
+
+  final case class SessionQueryResult(
+      kg: QueryResult,
+      sessionItems: DataFrame) // (id, role, text, score)
+
+  /** One conversational query: the committed-KG retrieval PLUS the
+    * session's own top chunks (what was said earlier in this session),
+    * each ranked in its own space — the gateway merges them the same way
+    * because session chunks have no KG edges to activate.
+    */
+  def queryWithSession(context: String, sessionId: String, topK: Int = 20,
+      sessionTopK: Int = 5, nowMillis: Long = 0L): SessionQueryResult =
+    SessionQueryResult(
+      query(context, topK = topK),
+      sessions.search(sessionId, context, sessionTopK, nowMillis))
+
   /** A7 per-domain knowledge stats over the committed tables. */
   def knowledgeStats(): DataFrame = Service.knowledgeStats(concepts, edges, rules)
 

@@ -15,6 +15,28 @@ object Service {
   /** service.py:461 — the only outcome values feedback accepts. */
   val AllowedOutcomes: Set[String] = Set("accepted", "rejected", "partial")
 
+  /** Hard cap on the [[propagateCredit]] outcomes collect. Outcomes are
+    * per-query-sized (one row per judged result item), so anything near
+    * this bound is a caller bug — fail loudly rather than OOM the driver.
+    */
+  val MaxOutcomesCollect = 100000
+
+  /** limit(n+1) probe + loud failure — the enforced form of the
+    * "per-query-sized" contract (same discipline as
+    * [[graft.causal.Causal.collectEdgesBounded]], but outcomes must not
+    * be truncated: dropping rows would silently mis-credit, so over-cap
+    * throws instead).
+    */
+  private def collectOutcomesBounded(
+      df: DataFrame, max: Int = MaxOutcomesCollect): Seq[org.apache.spark.sql.Row] = {
+    val probe = df.limit(max + 1).collect()
+    require(probe.length <= max,
+      s"propagateCredit outcomes frame exceeds the driver cap ($max rows) — " +
+        "outcomes are per-query result items; for stream-scale credit use " +
+        "CreditAssigner.creditStream")
+    probe.toSeq
+  }
+
   /** service.py:462 — reward mapping used for credit propagation. Note
     * rejected → −1.0 produces NEGATIVE credit, which lands in the beta
     * (failure) side of Thompson posterior deltas via
@@ -124,7 +146,11 @@ object Service {
       edges: DataFrame,
       outcomes: DataFrame, // (node_id, outcome)
       /** (id, domain, ...) — see [[feedback]]'s `creditConcepts`. */
-      concepts: Option[DataFrame] = None
+      concepts: Option[DataFrame] = None,
+      /** Driver-collect bound on the outcomes frame — enforced, not
+        * advisory (over-cap throws; see [[collectOutcomesBounded]]).
+        */
+      maxOutcomes: Int = MaxOutcomesCollect
   ): Option[CreditSummary] = {
     implicit val spark: org.apache.spark.sql.SparkSession = edges.sparkSession
     // (id, outcome, domain): with a concepts table, unknown ids are
@@ -133,13 +159,13 @@ object Service {
     // backend.get_node check, service.py:1628-1631)
     val rows: Seq[(String, String, String)] = concepts match {
       case Some(c) =>
-        outcomes
+        collectOutcomesBounded(outcomes
           .join(c.select(col("id").as("node_id"), col("domain")), Seq("node_id"))
-          .select(col("node_id"), col("outcome"), col("domain"))
-          .collect().toSeq
+          .select(col("node_id"), col("outcome"), col("domain")), maxOutcomes)
           .map(r => (r.getString(0), r.getString(1), r.getString(2)))
       case None =>
-        outcomes.select(col("node_id"), col("outcome")).collect().toSeq
+        collectOutcomesBounded(
+          outcomes.select(col("node_id"), col("outcome")), maxOutcomes)
           .collect { case r if r.getString(0).contains(":") =>
             val id = r.getString(0)
             (id, r.getString(1), id.substring(0, id.indexOf(':')))

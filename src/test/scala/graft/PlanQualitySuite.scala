@@ -177,13 +177,16 @@ class PlanQualitySuite extends SparkFunSuite {
       "shard-pack window is not partitioned by the hash bucket:\n" + plan.take(3000))
   }
 
-  test("q55 shared grams: gram keys are hashed (narrow shuffle), no Scala UDF") {
+  test("q55 shared grams: hashed gram keys, partial-agg doc-frequency, NO window") {
     val plan = planOf(SparkEntry.queries("q55_shared_grams")(spark, dir))
     assert(plan.contains("xxhash64"), "grams must shuffle as 64-bit hashes:\n" + plan.take(2000))
     assert(!plan.contains("BatchEvalPython"))
-    // the doc-frequency must come from a window over the hash, not a
-    // self-join of the exploded gram frame
-    assert(plan.contains("Window"), plan.take(2000))
+    // round-5 shape: doc-frequency = groupBy(gh).count() (partial
+    // aggregation collapses Zipf-hot grams map-side) joined back — a
+    // window over gh would put the hottest gram's posting list in ONE task
+    assert(!plan.contains("Window"),
+      "hot-gram window shape regressed:\n" + plan.take(3000))
+    assert("HashAggregate".r.findAllIn(plan).size >= 2, "no partial aggregation")
   }
 
   test("q56 source caps: per-source counts are broadcast, not shuffled") {

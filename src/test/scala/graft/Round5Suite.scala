@@ -1,0 +1,247 @@
+package graft
+
+import graft.ops.{Curation, Dedup, IncrementalDedup}
+import graft.query.{Service, SessionIndex, VectorIndex, VectorMigrate}
+import graft.store.SnapshotStore
+import org.apache.spark.sql.functions._
+
+/** Round-5 regression tests: string-keyed incremental dedup, the
+  * scale-safe curation shapes (no hot-key windows), the enforced
+  * propagateCredit driver bound, vector index migration, and
+  * session-scoped online retrieval.
+  */
+class Round5Suite extends SparkFunSuite {
+  import spark.implicits._
+
+  // ---- IncrementalDedup: generalized tie-break ---------------------------
+
+  test("annotateAgainst works on a STRING-keyed corpus (tie-break: max est, then min id)") {
+    val existing = Seq(
+      ("doc-aa", "the quick brown fox jumps over the lazy dog again and again today"),
+      ("doc-zz", "the quick brown fox jumps over the lazy dog again and again today"),
+      ("doc-mm", "completely different content about snapshot stores and lineage rows")
+    ).toDF("doc_id", "text")
+    val batch = Seq(
+      ("b-1", "the quick brown fox jumps over the lazy dog again and again today"),
+      ("b-2", "novel text that matches nothing in the committed corpus at all ok")
+    ).toDF("doc_id", "text")
+    val existingSigs = Dedup.signatures(existing, "doc_id")
+    val out = IncrementalDedup.annotateAgainst(existingSigs, batch,
+      minEstJaccard = 0.9).collect().map(r =>
+      (r.getString(0), Option(r.getString(1)))).toMap
+    // both committed copies match at est 1.0 → smallest id lexicographically
+    assert(out("b-1") == Some("doc-aa"))
+    assert(out("b-2").isEmpty)
+  }
+
+  test("ingestBatch end-to-end on string ids: accept, append, re-match next batch") {
+    val wh = java.nio.file.Files.createTempDirectory("graft-incdedup-str").toString
+    val store = new SnapshotStore(wh)
+    val b0 = Seq(
+      ("u-1", "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu"),
+      ("u-2", "one two three four five six seven eight nine ten eleven twelve")
+    ).toDF("doc_id", "text")
+    val r0 = IncrementalDedup.ingestBatch(store, "batch0", b0)
+    assert(r0.filter(col("accepted")).count() == 2)
+    val b1 = Seq(
+      ("u-3", "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu"),
+      ("u-4", "fresh words nowhere else mentioned in this corpus of test phrases")
+    ).toDF("doc_id", "text")
+    val r1 = IncrementalDedup.ingestBatch(store, "batch1", b1)
+      .collect().map(r => r.getString(0) ->
+        (Option(r.getString(r.fieldIndex("dup_of"))), r.getBoolean(r.fieldIndex("accepted"))))
+      .toMap
+    assert(r1("u-3") == (Some("u-1"), false))
+    assert(r1("u-4") == (None, true))
+  }
+
+  test("annotateSigs tie-break on numeric ids still prefers highest est, then smallest id") {
+    // sig arrays crafted directly: e2 agrees with the batch sig on all 32
+    // slots, e1/e3 on 31 — so est 1.0 must win even though e1 < e2
+    val base = (0 until 32).map(_.toLong)
+    val off = base.updated(0, 999L)
+    val existing = Seq((1L, off), (2L, base), (3L, off)).toDF("id", "sig")
+    val batch = Seq((10L, base)).toDF("id", "sig")
+    val annotated = graft.ops.IncrementalDedupTestAccess.annotate(existing, batch, 0.5)
+      .collect()
+    assert(annotated.length == 1)
+    val r = annotated.head
+    assert(r.getLong(r.fieldIndex("dup_of")) == 2L)
+    assert(r.getDouble(r.fieldIndex("est_jaccard")) == 1.0)
+  }
+
+  // ---- Curation: scale-safe shapes ---------------------------------------
+
+  test("sharedGramStats plan has NO window operator (groupBy + join shape)") {
+    val docs = Seq(
+      (1L, "a b c d e f"), (2L, "a b c x y z"), (3L, "totally unique words here now")
+    ).toDF("doc_id", "text")
+    val df = Curation.sharedGramStats(docs)
+    val optimized = df.queryExecution.optimizedPlan
+    val windows = optimized.collect {
+      case w: org.apache.spark.sql.catalyst.plans.logical.Window => w }
+    assert(windows.isEmpty, s"sharedGramStats must not use a window:\n$optimized")
+    // values unchanged vs the window form: doc 1/2 share the "a b c" gram
+    val rows = df.collect().map(r => r.getLong(0) -> r.getInt(2)).toMap
+    assert(rows(1L) == 1 && rows(2L) == 1 && rows(3L) == 0)
+  }
+
+  test("curate plan has no window partitioned by a content hash (md5)") {
+    val docs = Seq(
+      (1L, "hello world one two three", "s1"),
+      (2L, "hello world one two three", "s1"),
+      (3L, "different text entirely here", "s2")
+    ).toDF("doc_id", "text", "source")
+    val df = Curation.curate(docs)
+    val windows = df.queryExecution.optimizedPlan.collect {
+      case w: org.apache.spark.sql.catalyst.plans.logical.Window => w }
+    // the per-source cap's row_number window remains (partitioned by the
+    // SOURCE key, bounded by the hash pre-filter); none may partition by
+    // a content-hash expression
+    windows.foreach { w =>
+      val spec = w.partitionSpec.map(_.sql.toLowerCase).mkString(",")
+      assert(!spec.contains("md5") && !spec.contains("hash"),
+        s"content-hash window partition survives: $spec")
+    }
+    // semantics pinned: doc 1 keeps (min id of the dup family), doc 2 not
+    val kept = df.collect().map(r => r.getLong(0) ->
+      r.getBoolean(r.fieldIndex("keep_exact"))).toMap
+    assert(kept(1L) && !kept(2L) && kept(3L))
+  }
+
+  test("capPerSource broadcast gate: results identical with and without hint path") {
+    val docs = (0 until 200).map(i => (i.toLong, s"s${i % 7}")).toDF("doc_id", "source")
+    val kept = Curation.capPerSource(docs, maxPerSource = 5)
+    assert(kept.count() == 35)
+    val perSrc = kept.groupBy("source").count().collect().map(_.getLong(1)).toSet
+    assert(perSrc == Set(5L))
+  }
+
+  // ---- propagateCredit enforced driver bound ------------------------------
+
+  test("propagateCredit throws loudly when the outcomes frame exceeds the cap") {
+    val edges = (0 until 9).map(i => (s"d:n$i", s"d:n${i + 1}", "SUPPORTS", 0.9))
+      .toDF("source_id", "target_id", "relation_type", "confidence")
+    val outcomes = (0 until 10).map(i => (s"d:n$i", "accepted"))
+      .toDF("node_id", "outcome")
+    val ex = intercept[IllegalArgumentException] {
+      Service.propagateCredit(edges, outcomes, maxOutcomes = 5)
+    }
+    assert(ex.getMessage.contains("driver cap"))
+    // under the cap: same frame propagates fine
+    val ok = Service.propagateCredit(edges, outcomes, maxOutcomes = 100)
+    assert(ok.isDefined)
+  }
+
+  // ---- Vector index migration ---------------------------------------------
+
+  private def vecOf(seed: Int, dim: Int = 4): Seq[Float] =
+    (0 until dim).map(i => (seed * 31 + i).toFloat)
+
+  test("VectorMigrate copies every vector, is idempotent, validates post-write") {
+    val wh = java.nio.file.Files.createTempDirectory("graft-migrate").toString
+    val store = new SnapshotStore(wh)
+    val src = new VectorIndex(store, "vi_src")
+    val dst = new VectorIndex(store, "vi_dst")
+    src.upsert(Seq(("a", vecOf(1)), ("b", vecOf(2)), ("c", vecOf(3)))
+      .toDF("id", "embedding").withColumn("embedding", col("embedding").cast("array<float>")))
+    src.remove(Seq("c").toDF("id")) // merge-on-read state must resolve first
+
+    val r = VectorMigrate.migrate(src, dst, expectDim = Some(4))
+    assert(r.vectorsRead == 2 && r.vectorsWritten == 2 && r.dimension == 4)
+    assert(dst.count() == 2)
+    // idempotent: re-running upserts the same rows, count unchanged
+    val r2 = VectorMigrate.migrate(src, dst)
+    assert(r2.vectorsWritten == 2 && dst.count() == 2)
+  }
+
+  test("VectorMigrate: dry run writes nothing; transform re-embeds; bad dims throw") {
+    val wh = java.nio.file.Files.createTempDirectory("graft-migrate2").toString
+    val store = new SnapshotStore(wh)
+    val src = new VectorIndex(store, "vi_src")
+    src.upsert(Seq(("a", vecOf(1)), ("b", vecOf(2)))
+      .toDF("id", "embedding").withColumn("embedding", col("embedding").cast("array<float>")))
+
+    val dry = new VectorIndex(store, "vi_dry")
+    val rd = VectorMigrate.migrate(src, dry, dryRun = true)
+    assert(rd.vectorsRead == 2 && rd.vectorsWritten == 0 && dry.count() == 0)
+
+    // re-embed: project to 2 dims
+    val dst = new VectorIndex(store, "vi_reembed")
+    val rt = VectorMigrate.migrate(src, dst,
+      transform = df => df.select(col("id"),
+        slice(col("embedding"), 1, 2).as("embedding")))
+    assert(rt.dimension == 2 && dst.count() == 2)
+
+    // expected-dimension mismatch throws
+    val dst2 = new VectorIndex(store, "vi_baddim")
+    val ex = intercept[IllegalArgumentException] {
+      VectorMigrate.migrate(src, dst2, expectDim = Some(8))
+    }
+    assert(ex.getMessage.contains("dimension"))
+
+    // row-dropping transform throws (a migration carries every vector)
+    val ex2 = intercept[IllegalArgumentException] {
+      VectorMigrate.migrate(src, dst2, transform = _.limit(1))
+    }
+    assert(ex2.getMessage.contains("vector count"))
+  }
+
+  // ---- Session-scoped online retrieval ------------------------------------
+
+  test("SessionIndex: ingest → scoped search → expiry lifecycle") {
+    val wh = java.nio.file.Files.createTempDirectory("graft-session").toString
+    val store = new SnapshotStore(wh)
+    val si = new SessionIndex(store)
+
+    assert(si.ingestMessage("", "s1").chunks == 0) // blank → no-op
+    val r1 = si.ingestMessage(
+      "The deploy pipeline uses canary rollouts. Rollbacks are automatic.",
+      "s1", role = "user", nowMillis = 1000L)
+    assert(r1.chunks >= 1 && r1.concepts == 0 && r1.edges == 0)
+    si.ingestMessage("Databases use snapshot isolation for reads.",
+      "s2", role = "assistant", nowMillis = 2000L)
+    // invalid role indexes as "unknown" (service.py:737-742)
+    si.ingestMessage("Weird role content.", "s2", role = "hacker", nowMillis = 2000L)
+    assert(store.read("session_chunks").filter(col("role") === "unknown").count() >= 1)
+
+    // search is session-scoped: s1's query never sees s2's chunks
+    val hits = si.search("s1", "canary deploy rollouts", topK = 3, nowMillis = 3000L)
+      .collect()
+    assert(hits.nonEmpty)
+    assert(hits.forall(_.getString(0).startsWith("s1:")))
+    assert(hits.exists(_.getString(2).contains("canary")))
+
+    // expire s1: its vectors and chunks are gone, s2 untouched
+    si.expire("s1")
+    assert(si.index.read().filter(col("id").startsWith("s1:")).count() == 0)
+    assert(store.read("session_chunks").filter(col("session_id") === "s1").count() == 0)
+    assert(si.index.read().filter(col("id").startsWith("s2:")).count() >= 1)
+    assert(!si.liveSessions.contains("s1") && si.liveSessions.contains("s2"))
+
+    // idle expiry with the injected clock
+    val expired = si.expireIdle(maxIdleMillis = 500L, nowMillis = 10000L)
+    assert(expired == Seq("s2"))
+    assert(si.index.count() == 0)
+  }
+
+  test("GraftService.queryWithSession composes KG retrieval with session chunks") {
+    val wh = java.nio.file.Files.createTempDirectory("graft-svc-session").toString
+    val store = new SnapshotStore(wh)
+    graft.pipeline.Ingest.run(
+      graft.fixtures.PagesGen.pages(spark, 40), store,
+      graft.pipeline.Ingest.Config(),
+      knownPartitions = Some(graft.fixtures.PagesGen.dayStrings(4)))
+
+    val svc = new graft.query.GraftService(store)
+    svc.sessions.ingestMessage(
+      "Earlier we decided the session timeout is thirty minutes.",
+      "sess-9", nowMillis = 1L)
+    val out = svc.queryWithSession(
+      "platform access control tokens", "sess-9", topK = 5)
+    assert(out.kg.items.count() >= 1)
+    val sess = out.sessionItems.collect()
+    assert(sess.nonEmpty && sess.forall(_.getString(0).startsWith("sess-9:")))
+    assert(sess.exists(_.getString(2).contains("thirty minutes")))
+  }
+}
