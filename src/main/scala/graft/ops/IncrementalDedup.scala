@@ -85,9 +85,9 @@ object IncrementalDedup {
     * committed signatures are excluded from the match side, so a crashed
     * run re-executes to identical output. A delayed replay after
     * subsequent commits still skips the append but annotates against the
-    * grown index (later batches' signatures match too); callers needing
-    * the historical annotation should read the snapshot whose
-    * inputPartitions precede `batchId` and use [[annotateAgainst]].
+    * grown index (later batches' signatures match too); for the
+    * historical annotation use [[replayAnnotation]], which time-travels
+    * the index to the state the original run saw.
     */
   def ingestBatch(store: SnapshotStore, batchId: String, batch: DataFrame,
       minEstJaccard: Double = 0.9, idCol: String = "doc_id",
@@ -123,5 +123,51 @@ object IncrementalDedup {
       store.commitAppend(SigTable, acceptedSigs, Seq(batchId))
     }
     annotated
+  }
+
+  /** The signature index as it stood IMMEDIATELY BEFORE `batchId`
+    * committed — the match side the original [[ingestBatch]] annotation
+    * saw. `inputPartitions` is cumulative, so the FIRST snapshot listing
+    * the batch id is the commit that recorded it; its parent is the
+    * pre-batch state. Returns None if `batchId` was never committed;
+    * Some(None) if the batch was the very first commit (empty index).
+    * Only manifests are read to locate the version — no data scan.
+    */
+  def indexBefore(store: SnapshotStore, batchId: String)(
+      implicit spark: SparkSession): Option[Option[DataFrame]] = {
+    val committedAt = store.snapshotIds(SigTable).sorted.find(id =>
+      store.snapshot(SigTable, id).exists(_.inputPartitions.contains(batchId)))
+    committedAt.map { v =>
+      val parent = store.snapshot(SigTable, v).get.parent
+      if (parent < 0) None else Some(store.read(SigTable, parent))
+    }
+  }
+
+  /** Reproduce the ORIGINAL [[ingestBatch]] annotation for an
+    * already-committed batch, even after later batches have grown the
+    * index: the match side is time-traveled to the pre-batch snapshot
+    * (see [[indexBefore]]), so signatures committed by subsequent batches
+    * cannot leak into the replayed `dup_of`/`accepted` columns. The batch
+    * frame must carry the same rows as the original call (the signatures
+    * are deterministic functions of the text). Never writes.
+    */
+  def replayAnnotation(store: SnapshotStore, batchId: String, batch: DataFrame,
+      minEstJaccard: Double = 0.9, idCol: String = "doc_id",
+      bucketCap: Long = 10000L)(implicit spark: SparkSession): DataFrame = {
+    val before = indexBefore(store, batchId).getOrElse(sys.error(
+      s"replayAnnotation: batch '$batchId' was never committed to $SigTable — " +
+        "run ingestBatch first"))
+    val batchSigs = Dedup.signatures(batch, idCol).localCheckpoint()
+    val clusters = Dedup.dedupClustersFromSigs(batchSigs, minEstJaccard, bucketCap)
+    val annotated0 = before match {
+      case Some(existingSigs) =>
+        annotateSigs(existingSigs, batchSigs, minEstJaccard, bucketCap)
+      case None =>
+        batchSigs.select(col("id").as("doc_id"),
+          lit(null).cast(batchSigs.schema("id").dataType).as("dup_of"),
+          lit(null).cast("double").as("est_jaccard"))
+    }
+    clusters.join(annotated0, Seq("doc_id"))
+      .withColumn("accepted", col("keep") && col("dup_of").isNull)
   }
 }

@@ -70,6 +70,39 @@ class Round5Suite extends SparkFunSuite {
     assert(r.getDouble(r.fieldIndex("est_jaccard")) == 1.0)
   }
 
+  test("replayAnnotation reproduces the ORIGINAL annotation after later commits") {
+    val wh = java.nio.file.Files.createTempDirectory("graft-incdedup-replay").toString
+    val store = new SnapshotStore(wh)
+    val sharedText = "gamma delta epsilon zeta eta theta iota kappa lambda mu nu xi"
+    val b0 = Seq((1L, "totally novel base corpus content with many different words here"))
+      .toDF("doc_id", "text")
+    IncrementalDedup.ingestBatch(store, "b0", b0)
+    // b1's doc 2 matches nothing at ingest time → accepted
+    val b1 = Seq((2L, sharedText)).toDF("doc_id", "text")
+    val orig = IncrementalDedup.ingestBatch(store, "b1", b1).collect()
+    assert(orig.length == 1 && orig.head.getBoolean(orig.head.fieldIndex("accepted")))
+    // b2 commits a near-dup of b1's doc — the index has grown
+    val b2 = Seq((3L, sharedText + " extra")).toDF("doc_id", "text")
+    IncrementalDedup.ingestBatch(store, "b2", b2)
+
+    // a plain re-invoke now annotates against the GROWN index (documented
+    // behavior): doc 2 may match doc 3. The replay must NOT.
+    val replay = IncrementalDedup.replayAnnotation(store, "b1", b1).collect()
+    assert(replay.length == 1)
+    val r = replay.head
+    assert(r.isNullAt(r.fieldIndex("dup_of")),
+      "replay leaked a post-batch signature into the match side")
+    assert(r.getBoolean(r.fieldIndex("accepted")))
+    // first-commit replay: empty pre-batch index → all novel
+    val replay0 = IncrementalDedup.replayAnnotation(store, "b0", b0).collect()
+    assert(replay0.length == 1 && replay0.head.isNullAt(replay0.head.fieldIndex("dup_of")))
+    // never-committed batch id fails loudly
+    val ex = intercept[RuntimeException] {
+      IncrementalDedup.replayAnnotation(store, "nope", b1)
+    }
+    assert(ex.getMessage.contains("never committed"))
+  }
+
   // ---- Curation: scale-safe shapes ---------------------------------------
 
   test("sharedGramStats plan has NO window operator (groupBy + join shape)") {
