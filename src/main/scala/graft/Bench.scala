@@ -109,8 +109,12 @@ object Bench {
       .map { case (n, m) => s"""{"query":"$n","error":"${escJson(m)}"}""" }
       .mkString("[", ",", "]")
     val total = results.map(_._2).sum + kgWall
+    // host-capacity probe AT MEASUREMENT TIME (after the timed work, so it
+    // doesn't perturb the queries) — every bench carries its own variance
+    // context per the BENCH/BASELINE.md protocol
+    val cpuProbe = graft.bench.CpuScaling.probeJson()
     val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"""" +
+      s"""{"metric":"total","value":$total,"unit":"sec","cpu_probe":$cpuProbe,"queries":$qs,"sf":"$sfDir"""" +
         s""","kg_pages":$nPages,"kg_docs":$kgDocs,"kg_triples":$kgTriples""" +
         f""","kg_wall_sec":$kgWall%.2f,"docs_per_sec":${kgDocs / kgWall}%.1f""" +
         f""","triples_per_sec":${kgTriples / kgWall}%.1f,"cpus":$cpus""" +

@@ -113,6 +113,7 @@ object CorpusScalingBench {
       f"""{"docs":$nDocs,"n":$n,"n4":$n4,"wall_sec_n":$tN%.2f,""" +
         f""""wall_sec_4n":$t4%.2f,"docs_per_sec_n":${nDocs / tN}%.1f,""" +
         f""""docs_per_sec_4n":${nDocs / t4}%.1f,""" +
-        f""""output_checksum":$sumN,"scaling_efficiency":$efficiency%.3f}""")
+        f""""output_checksum":$sumN,"scaling_efficiency":$efficiency%.3f,""" +
+        s""""cpu_probe":${CpuScaling.probeJson()}}""")
   }
 }

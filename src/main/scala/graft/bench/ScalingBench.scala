@@ -77,6 +77,7 @@ object ScalingBench {
         f""""wall_sec_n":$tN%.2f,"wall_sec_4n":$t4%.2f,""" +
         f""""docs_per_sec_n":${docsN / tN}%.1f,"docs_per_sec_4n":${docs4 / t4}%.1f,""" +
         f""""triples_per_sec_n":${triplesN / tN}%.1f,"triples_per_sec_4n":${triples4 / t4}%.1f,""" +
-        f""""scaling_efficiency":$efficiency%.3f}""")
+        f""""scaling_efficiency":$efficiency%.3f,""" +
+        s""""cpu_probe":${CpuScaling.probeJson()}}""")
   }
 }
