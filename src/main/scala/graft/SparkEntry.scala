@@ -342,6 +342,8 @@ object SparkEntry {
       TextAnalysis.repetition(t(s, dir, "documents"))),
     "q55_shared_grams" -> ((s, dir) =>
       graft.ops.Curation.sharedGramStats(t(s, dir, "documents"))),
+    "q65_substring_dup" -> ((s, dir) =>
+      graft.ops.Curation.substringDupStats(t(s, dir, "documents"), w = 10)),
     "q56_source_caps" -> ((s, dir) =>
       graft.ops.Curation.capPerSourceVerified(t(s, dir, "documents"),
         maxPerSource = 10)),
@@ -1057,6 +1059,34 @@ object SparkEntry {
         |       ELSE CAST(p.n_shared_grams AS DOUBLE) / CAST(p.n_distinct_grams AS DOUBLE)
         |  END AS shared_fraction
         |FROM documents d LEFT JOIN p USING (doc_id)""".stripMargin,
+    "q65_substring_dup" ->
+      // fixture-free: the oracle groups the 10-token window STRINGS (no
+      // hashing — a match also witnesses xxhash64 collision-freedom at
+      // this scale) and re-derives the per-doc interval union with a
+      // lead() window — naive SQL, same integers
+      """WITH w AS (SELECT doc_id,
+        |    CASE WHEN length(trim(text)) = 0 THEN []
+        |         ELSE regexp_split_to_array(trim(text), '\s+') END AS ws
+        |  FROM documents),
+        |t AS (SELECT doc_id, len(ws) AS n_tokens, ws FROM w),
+        |s AS (SELECT doc_id, i - 1 AS pos,
+        |        array_to_string(ws[i:i+9], ' ') AS win
+        |      FROM (SELECT doc_id, ws, unnest(range(1, n_tokens - 10 + 2)) AS i
+        |            FROM t WHERE n_tokens >= 10)),
+        |f AS (SELECT win FROM (SELECT DISTINCT doc_id, win FROM s)
+        |      GROUP BY 1 HAVING count(*) >= 2),
+        |iu AS (SELECT doc_id,
+        |         sum(LEAST(10, COALESCE(nxt - pos, 10))) AS ndup
+        |       FROM (SELECT doc_id, pos,
+        |               lead(pos) OVER (PARTITION BY doc_id ORDER BY pos) AS nxt
+        |             FROM (SELECT s.doc_id, s.pos FROM s JOIN f USING (win)))
+        |       GROUP BY 1)
+        |SELECT t.doc_id, CAST(t.n_tokens AS INT) AS n_tokens,
+        |  CAST(COALESCE(iu.ndup, 0) AS INT) AS n_dup_tokens,
+        |  CASE WHEN t.n_tokens = 0 THEN 0.0
+        |       ELSE CAST(COALESCE(iu.ndup, 0) AS DOUBLE) / t.n_tokens
+        |  END AS dup_fraction
+        |FROM t LEFT JOIN iu USING (doc_id)""".stripMargin,
     "q56_source_caps" ->
       // fixture-free: row_number over the same salted-md5 order; the
       // operator's hash-prefix pre-filter is provably rank-preserving so

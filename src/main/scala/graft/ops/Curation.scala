@@ -93,6 +93,68 @@ object Curation {
           .as("shared_fraction"))
   }
 
+  /** Positional exact-substring duplication (Lee et al. 2021,
+    * "Deduplicating Training Data Makes Language Models Better": remove
+    * exact ≥50-token substrings occurring twice, found with a single-node
+    * suffix array). The Spark re-expression keeps the signal distributed
+    * and POSITIONAL: for each doc, how many token positions sit inside
+    * some length-`w` window whose exact token sequence appears in ≥ 2
+    * distinct documents. Unlike [[sharedGramStats]] (distinct-gram
+    * counting), this measures how much of the doc's actual text lies in
+    * cross-doc duplicated spans — the quantity Lee et al. cut — so a doc
+    * with one 500-token boilerplate block and a doc with 500 scattered
+    * shared trigrams score very differently.
+    *
+    * Scale shape (same scale-safe discipline as [[sharedGramStats]]):
+    *  1. one row per window START `(doc, pos, xxhash64(window))` — linear
+    *     in corpus tokens; windows shuffle as 8-byte hashes;
+    *  2. duplicated-window set via distinct (doc, wh) →
+    *     `groupBy(wh).count()` — partial aggregation collapses Zipf-hot
+    *     boilerplate windows map-side (never a window over the hash);
+    *  3. join starts against the dup-hash set (AQE skew-split);
+    *  4. per-doc interval-union length over the SORTED dup starts with
+    *     array higher-order functions — the collected array is bounded by
+    *     the doc's own token count, the same per-doc memory bound as
+    *     holding its text.
+    * Output: `(doc_id, n_tokens, n_dup_tokens, dup_fraction)`.
+    */
+  def substringDupStats(docs: DataFrame, w: Int = 10,
+      idCol: String = "doc_id"): DataFrame = {
+    require(w >= 2, s"window must be >= 2 tokens, got $w")
+    val toks = docs
+      .select(col(idCol).as("doc_id"), wordsCol(col("text")).as("__ws"))
+      .select(col("doc_id"), size(col("__ws")).as("n_tokens"),
+        gramsCol(col("__ws"), w).as("__grams"))
+    val starts = toks
+      .select(col("doc_id"), posexplode(col("__grams")).as(Seq("pos", "gram")))
+      .select(col("doc_id"), col("pos"), xxhash64(col("gram")).as("wh"))
+    val dupWh = starts.select("doc_id", "wh").distinct()
+      .groupBy("wh").agg(count(lit(1)).as("df"))
+      .filter(col("df") >= 2).select("wh")
+    val dupStarts = starts.join(dupWh, Seq("wh")).select("doc_id", "pos")
+    // interval union of [pos, pos+w) over sorted starts: each start
+    // contributes min(w, nextStart - pos); the last contributes w (grams
+    // are full windows, so pos + w <= n_tokens always — no clipping).
+    // zip_with pads the shifted array with null and Spark's least() skips
+    // nulls, so the last element falls out as w without a special case.
+    val perDoc = dupStarts.groupBy("doc_id")
+      .agg(sort_array(collect_set(col("pos"))).as("ps"))
+      .select(col("doc_id"),
+        aggregate(
+          zip_with(col("ps"),
+            slice(col("ps"), lit(2), greatest(size(col("ps")) - 1, lit(0))),
+            (a, b) => least(lit(w), b - a)),
+          lit(0L), (acc, x) => acc + x.cast("long"))
+          .cast("int").as("n_dup_tokens"))
+    toks.select("doc_id", "n_tokens").join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tokens"),
+        coalesce(col("n_dup_tokens"), lit(0)).as("n_dup_tokens"),
+        when(col("n_tokens") === 0, 0.0)
+          .otherwise(coalesce(col("n_dup_tokens"), lit(0)).cast("double") /
+            col("n_tokens").cast("double"))
+          .as("dup_fraction"))
+  }
+
   /** Numeric order key in [0, 2³²): the first 8 hex digits of
     * `md5(id ":" salt)`. Lexicographic order of the full 32-hex string
     * equals numeric order of this prefix ties-then-remainder, which is

@@ -142,6 +142,34 @@ class Round5Suite extends SparkFunSuite {
     assert(kept(1L) && !kept(2L) && kept(3L))
   }
 
+  test("substringDupStats: positional interval-union coverage, cross-doc only") {
+    val docs = Seq(
+      (1L, "a b c d e f"),          // shares "a b c" with doc 2 → 3 of 6
+      (2L, "x a b c y z"),          // span at pos 1 → 3 of 6
+      (3L, "p q r p q r p q"),      // every window shared with doc 4 → 8 of 8
+      (4L, "p q r p q r s t"),      // starts {0,1,2,3} → 1+1+1+3 = 6 of 8
+      (5L, "m n o m n o m n"),      // repeats only WITHIN itself → 0 (df is
+                                    //   distinct-doc count, not occurrences)
+      (6L, "xx yy")                 // shorter than the window → 0 of 2
+    ).toDF("doc_id", "text")
+    val out = Curation.substringDupStats(docs, w = 3)
+    val got = out.collect().map(r => r.getLong(0) ->
+      ((r.getInt(1), r.getInt(2), r.getDouble(3)))).toMap
+    assert(got(1L) == ((6, 3, 0.5)))
+    assert(got(2L) == ((6, 3, 0.5)))
+    assert(got(3L) == ((8, 8, 1.0)))
+    assert(got(4L) == ((8, 6, 0.75)))
+    assert(got(5L) == ((8, 0, 0.0)))
+    assert(got(6L) == ((2, 0, 0.0)))
+    // scale shape pinned: hashed windows, partial-agg doc-frequency, and
+    // NO window operator anywhere (the per-doc union is an aggregate)
+    val optimized = out.queryExecution.optimizedPlan
+    val windows = optimized.collect {
+      case w: org.apache.spark.sql.catalyst.plans.logical.Window => w }
+    assert(windows.isEmpty, s"substringDupStats must not use a window:\n$optimized")
+    assert(out.queryExecution.executedPlan.toString.contains("xxhash64"))
+  }
+
   test("capPerSource broadcast gate: results identical with and without hint path") {
     val docs = (0 until 200).map(i => (i.toLong, s"s${i % 7}")).toDF("doc_id", "source")
     val kept = Curation.capPerSource(docs, maxPerSource = 5)
