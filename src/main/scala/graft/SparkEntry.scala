@@ -344,6 +344,8 @@ object SparkEntry {
       graft.ops.Curation.sharedGramStats(t(s, dir, "documents"))),
     "q65_substring_dup" -> ((s, dir) =>
       graft.ops.Curation.substringDupStats(t(s, dir, "documents"), w = 10)),
+    "q66_substring_dedup" -> ((s, dir) =>
+      graft.ops.Curation.substringDedup(t(s, dir, "documents"), w = 10)),
     "q56_source_caps" -> ((s, dir) =>
       graft.ops.Curation.capPerSourceVerified(t(s, dir, "documents"),
         maxPerSource = 10)),
@@ -1087,6 +1089,38 @@ object SparkEntry {
         |       ELSE CAST(COALESCE(iu.ndup, 0) AS DOUBLE) / t.n_tokens
         |  END AS dup_fraction
         |FROM t LEFT JOIN iu USING (doc_id)""".stripMargin,
+    "q66_substring_dedup" ->
+      // fixture-free: keep-one substring removal re-derived over the
+      // window STRINGS — keeper = min doc_id per duplicated window, a
+      // non-keeper doc drops every token inside a duplicated window, and
+      // the cleaned text is rebuilt token-by-token (both engines rebuild
+      // from the token array, so whitespace normalization agrees)
+      """WITH w AS (SELECT doc_id,
+        |    CASE WHEN length(trim(text)) = 0 THEN []
+        |         ELSE regexp_split_to_array(trim(text), '\s+') END AS ws
+        |  FROM documents),
+        |t AS (SELECT doc_id, len(ws) AS n_tokens, ws FROM w),
+        |s AS (SELECT doc_id, i - 1 AS pos,
+        |        array_to_string(ws[i:i+9], ' ') AS win
+        |      FROM (SELECT doc_id, ws, unnest(range(1, n_tokens - 10 + 2)) AS i
+        |            FROM t WHERE n_tokens >= 10)),
+        |k AS (SELECT win, min(doc_id) AS keeper
+        |      FROM (SELECT DISTINCT doc_id, win FROM s)
+        |      GROUP BY 1 HAVING count(*) >= 2),
+        |r AS (SELECT s.doc_id, list_sort(list(DISTINCT s.pos)) AS ps
+        |      FROM s JOIN k USING (win) WHERE s.doc_id <> k.keeper
+        |      GROUP BY 1),
+        |c AS (SELECT t.doc_id, t.n_tokens, t.ws,
+        |        list_filter(range(0, t.n_tokens), i -> NOT list_contains(
+        |          COALESCE(list_distinct(flatten(list_transform(r.ps,
+        |            q -> range(q, q + 10)))), []), i)) AS kept
+        |      FROM t LEFT JOIN r USING (doc_id))
+        |SELECT doc_id, CAST(n_tokens AS INT) AS n_tokens,
+        |  CAST(n_tokens - len(kept) AS INT) AS n_removed,
+        |  -- DuckDB's array_to_string([]) is NULL, Spark's array_join([]) is ''
+        |  COALESCE(array_to_string(list_transform(kept, i -> ws[i + 1]), ' '), '')
+        |    AS clean_text
+        |FROM c""".stripMargin,
     "q56_source_caps" ->
       // fixture-free: row_number over the same salted-md5 order; the
       // operator's hash-prefix pre-filter is provably rank-preserving so

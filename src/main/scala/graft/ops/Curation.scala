@@ -155,6 +155,62 @@ object Curation {
           .as("dup_fraction"))
   }
 
+  /** Exact-substring DEDUP — the transform behind [[substringDupStats]]'s
+    * signal: rewrite each document with its cross-doc duplicated spans
+    * REMOVED, keeping one occurrence corpus-wide (Lee et al. 2021 cut all
+    * but one copy of each ≥50-token duplicate substring; their suffix
+    * array is single-node, this is the distributed re-expression).
+    *
+    * Keep-one policy: for each duplicated window the KEEPER is the doc
+    * with the smallest id (any orderable id type); the keeper retains the
+    * span (including its own internal repeats), every other doc drops the
+    * covered token positions. Removal is positional — overlapping
+    * duplicated windows union into one cut, and surviving tokens rejoin
+    * with single spaces (whitespace normalizes, as any token-level
+    * rewrite must).
+    *
+    * Scale shape: identical to [[substringDupStats]] up to the dup-start
+    * set (hashed windows, partial-agg keeper/df per window hash, AQE
+    * skew-join back), then ONE per-doc rewrite pass with array
+    * higher-order functions — the collected removable-start array is
+    * bounded by the doc's own token count. Output:
+    * `(doc_id, n_tokens, n_removed, clean_text)`.
+    */
+  def substringDedup(docs: DataFrame, w: Int = 10,
+      idCol: String = "doc_id"): DataFrame = {
+    require(w >= 2, s"window must be >= 2 tokens, got $w")
+    val toks = docs
+      .select(col(idCol).as("doc_id"), wordsCol(col("text")).as("__ws"))
+      .select(col("doc_id"), col("__ws"), size(col("__ws")).as("n_tokens"),
+        gramsCol(col("__ws"), w).as("__grams"))
+    val starts = toks
+      .select(col("doc_id"), posexplode(col("__grams")).as(Seq("pos", "gram")))
+      .select(col("doc_id"), col("pos"), xxhash64(col("gram")).as("wh"))
+    // per duplicated window: distinct-doc count + smallest holder id —
+    // one partial-aggregating groupBy over 8-byte keys
+    val keepers = starts.select("doc_id", "wh").distinct()
+      .groupBy("wh").agg(min("doc_id").as("__keeper"), count(lit(1)).as("df"))
+      .filter(col("df") >= 2)
+      .select("wh", "__keeper")
+    val removable = starts.join(keepers, Seq("wh"))
+      .filter(col("doc_id") =!= col("__keeper"))
+      .select("doc_id", "pos")
+    val perDoc = removable.groupBy("doc_id")
+      .agg(sort_array(collect_set(col("pos"))).as("ps"))
+    // positional rewrite: kept = indices outside every [q, q+w) interval;
+    // guard sequence() against empty docs (sequence(0,-1) DESCENDS)
+    val idxs = when(size(col("__ws")) === 0, array().cast("array<int>"))
+      .otherwise(sequence(lit(0), size(col("__ws")) - 1))
+    val ps = coalesce(col("ps"), array().cast("array<int>"))
+    val kept = filter(idxs, i =>
+      !exists(ps, q => q <= i && i < q + lit(w)))
+    toks.join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tokens"),
+        (col("n_tokens") - size(kept)).as("n_removed"),
+        array_join(transform(kept, i => element_at(col("__ws"), i + 1)), " ")
+          .as("clean_text"))
+  }
+
   /** Numeric order key in [0, 2³²): the first 8 hex digits of
     * `md5(id ":" salt)`. Lexicographic order of the full 32-hex string
     * equals numeric order of this prefix ties-then-remainder, which is

@@ -170,6 +170,20 @@ class Round5Suite extends SparkFunSuite {
     assert(out.queryExecution.executedPlan.toString.contains("xxhash64"))
   }
 
+  test("substringDedup: keep-one removal, keeper retains, overlaps union") {
+    val span = "a b c d e f g h i j" // 10 tokens = one window at w=10
+    val docs = Seq(
+      (1L, s"$span k l"),        // keeper (min id) — keeps everything
+      (2L, s"$span k l"),        // exact dup → every window removable
+      (3L, s"z1 z2 $span z3")    // shares only the span → middle cut
+    ).toDF("doc_id", "text")
+    val out = Curation.substringDedup(docs, w = 10).collect()
+      .map(r => r.getLong(0) -> ((r.getInt(1), r.getInt(2), r.getString(3)))).toMap
+    assert(out(1L) == ((12, 0, span + " k l")))
+    assert(out(2L) == ((12, 12, "")))
+    assert(out(3L) == ((13, 10, "z1 z2 z3")))
+  }
+
   test("capPerSource broadcast gate: results identical with and without hint path") {
     val docs = (0 until 200).map(i => (i.toLong, s"s${i % 7}")).toDF("doc_id", "source")
     val kept = Curation.capPerSource(docs, maxPerSource = 5)
