@@ -21,6 +21,9 @@ import org.apache.spark.sql.functions._
   *   CorpusCli ann            <emb.parquet> <queries.parquet> <out> [k] [nprobe]
   *   CorpusCli redact         <docs.parquet> <out>   (PII scrub: email/URL/IP)
   *   CorpusCli dedup-incremental <warehouse> <batchId> <batch.parquet> <out> [minEstJaccard]
+  *   CorpusCli dedup-replay   <warehouse> <batchId> <batch.parquet> <out> [minEstJaccard]
+  *   CorpusCli substring-dup  <docs.parquet> <out> [w]   (positional dup signal)
+  *   CorpusCli substring-dedup <docs.parquet> <out> [w]  (keep-one span removal)
   *   CorpusCli curate-stream  <docsDir> <out> <checkpointDir>
   *
   * Every command is a straight mapping onto one `graft.ops` operator, so
@@ -118,6 +121,28 @@ object CorpusCli {
           write(graft.ops.IncrementalDedup.ingestBatch(
             store, batchId, spark.read.parquet(in), minEst), out))
 
+      case "dedup-replay" =>
+        // historical annotation for an already-committed batch: matches
+        // against the index AS OF the batch's own commit (time travel)
+        val Seq(wh, batchId, in, out) = args.slice(1, 5)
+        val minEst = if (args.length > 5) args(5).toDouble else 0.9
+        val store = new graft.store.SnapshotStore(wh)
+        summary("dedup-replay", out,
+          write(graft.ops.IncrementalDedup.replayAnnotation(
+            store, batchId, spark.read.parquet(in), minEst), out))
+
+      case "substring-dup" =>
+        val Seq(in, out) = args.slice(1, 3)
+        val w = if (args.length > 3) args(3).toInt else 10
+        summary("substring-dup", out,
+          write(Curation.substringDupStats(spark.read.parquet(in), w), out))
+
+      case "substring-dedup" =>
+        val Seq(in, out) = args.slice(1, 3)
+        val w = if (args.length > 3) args(3).toInt else 10
+        summary("substring-dedup", out,
+          write(Curation.substringDedup(spark.read.parquet(in), w), out))
+
       case "curate-stream" =>
         // <docsDir> <out> <checkpointDir> — one AvailableNow drain;
         // repeated invocations resume the seen-content state
@@ -141,7 +166,8 @@ object CorpusCli {
         throw new IllegalArgumentException(
           s"unknown command '$other' " +
             "(dedup-exact|dedup-clusters|decontaminate|split|pack|quality|" +
-            "curate|source-cap|ann|redact|dedup-incremental|curate-stream)")
+            "curate|source-cap|ann|redact|dedup-incremental|dedup-replay|" +
+            "substring-dup|substring-dedup|curate-stream)")
     }
   }
 

@@ -116,6 +116,38 @@ class CorpusCliSuite extends SparkFunSuite {
     assert(acc == Map(80L -> false))
   }
 
+  test("dedup-replay command reproduces the day1 annotation after day2 committed") {
+    val wh = s"$dir/replaywh"
+    CorpusCli.run(Seq("dedup-incremental", wh, "day1", s"$dir/docs",
+      s"$dir/rp1", "0.9"), spark)
+    Seq((80L, "the quick brown fox jumps over the lazy dog near the river bank today"))
+      .toDF("doc_id", "text").write.mode("overwrite").parquet(s"$dir/rp-day2")
+    CorpusCli.run(Seq("dedup-incremental", wh, "day2", s"$dir/rp-day2",
+      s"$dir/rp2", "0.9"), spark)
+    val out = CorpusCli.run(Seq("dedup-replay", wh, "day1", s"$dir/docs",
+      s"$dir/rp1b", "0.9"), spark)
+    assert(out.head.contains("\"rows\":3"), out.head)
+    // day1 predates every other commit → all novel, exactly as originally
+    val rep = spark.read.parquet(s"$dir/rp1b")
+      .select("doc_id", "accepted").as[(Long, Boolean)].collect().toMap
+    val orig = spark.read.parquet(s"$dir/rp1")
+      .select("doc_id", "accepted").as[(Long, Boolean)].collect().toMap
+    assert(rep == orig)
+  }
+
+  test("substring-dup and substring-dedup commands run the span family") {
+    val o1 = CorpusCli.run(Seq("substring-dup", s"$dir/docs", s"$dir/ss1", "5"), spark)
+    assert(o1.head.contains("\"rows\":3"), o1.head)
+    val frac = spark.read.parquet(s"$dir/ss1")
+      .select("doc_id", "dup_fraction").as[(Long, Double)].collect().toMap
+    assert(frac(0L) == 1.0 && frac(1L) == 1.0 && frac(2L) == 0.0)
+    val o2 = CorpusCli.run(Seq("substring-dedup", s"$dir/docs", s"$dir/ss2", "5"), spark)
+    assert(o2.head.contains("\"rows\":3"), o2.head)
+    val clean = spark.read.parquet(s"$dir/ss2")
+      .select("doc_id", "clean_text").as[(Long, String)].collect().toMap
+    assert(clean(0L).nonEmpty && clean(1L).isEmpty && clean(2L).nonEmpty)
+  }
+
   test("curate-stream command drains a doc stream with online dedup") {
     Seq((0L, "alpha beta gamma delta"), (1L, "alpha beta gamma delta"))
       .toDF("doc_id", "text").write.mode("overwrite").parquet(s"$dir/stream-in")
