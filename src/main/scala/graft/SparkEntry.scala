@@ -346,6 +346,15 @@ object SparkEntry {
       graft.ops.Curation.substringDupStats(t(s, dir, "documents"), w = 10)),
     "q66_substring_dedup" -> ((s, dir) =>
       graft.ops.Curation.substringDedup(t(s, dir, "documents"), w = 10)),
+    "q67_ngram_decontaminate" -> ((s, dir) => {
+      // same simulated eval set as q52 (every 7th doc re-keyed) — q52
+      // flags whole near-duplicate DOCS via minhash, this flags the exact
+      // token spans shared with the benchmark
+      val docs = t(s, dir, "documents")
+      val bench = docs.filter(col("doc_id") % 7 === 0)
+        .withColumn("doc_id", col("doc_id") + 1000000L)
+      graft.ops.Curation.ngramDecontaminate(docs, bench, w = 10)
+    }),
     "q56_source_caps" -> ((s, dir) =>
       graft.ops.Curation.capPerSourceVerified(t(s, dir, "documents"),
         maxPerSource = 10)),
@@ -1121,6 +1130,33 @@ object SparkEntry {
         |  COALESCE(array_to_string(list_transform(kept, i -> ws[i + 1]), ' '), '')
         |    AS clean_text
         |FROM c""".stripMargin,
+    "q67_ngram_decontaminate" ->
+      // fixture-free: the eval set's text equals the %7 documents' text
+      // (re-keying changes ids only), so the oracle windows the corpus
+      // and the %7 subset directly over the window STRINGS and re-derives
+      // the positional interval union with lead()
+      """WITH w AS (SELECT doc_id,
+        |    CASE WHEN length(trim(text)) = 0 THEN []
+        |         ELSE regexp_split_to_array(trim(text), '\s+') END AS ws
+        |  FROM documents),
+        |t AS (SELECT doc_id, len(ws) AS n_tokens, ws FROM w),
+        |s AS (SELECT doc_id, i - 1 AS pos,
+        |        array_to_string(ws[i:i+9], ' ') AS win
+        |      FROM (SELECT doc_id, ws, unnest(range(1, n_tokens - 10 + 2)) AS i
+        |            FROM t WHERE n_tokens >= 10)),
+        |b AS (SELECT DISTINCT win FROM s WHERE doc_id % 7 = 0),
+        |iu AS (SELECT doc_id,
+        |         sum(LEAST(10, COALESCE(nxt - pos, 10))) AS ncon
+        |       FROM (SELECT doc_id, pos,
+        |               lead(pos) OVER (PARTITION BY doc_id ORDER BY pos) AS nxt
+        |             FROM (SELECT s.doc_id, s.pos FROM s JOIN b USING (win)))
+        |       GROUP BY 1)
+        |SELECT t.doc_id, CAST(t.n_tokens AS INT) AS n_tokens,
+        |  CAST(COALESCE(iu.ncon, 0) AS INT) AS n_contam_tokens,
+        |  CASE WHEN t.n_tokens = 0 THEN 0.0
+        |       ELSE CAST(COALESCE(iu.ncon, 0) AS DOUBLE) / t.n_tokens
+        |  END AS contam_fraction
+        |FROM t LEFT JOIN iu USING (doc_id)""".stripMargin,
     "q56_source_caps" ->
       // fixture-free: row_number over the same salted-md5 order; the
       // operator's hash-prefix pre-filter is provably rank-preserving so

@@ -211,6 +211,53 @@ object Curation {
           .as("clean_text"))
   }
 
+  /** N-gram-level benchmark decontamination — the exact-overlap method of
+    * GPT-3's appendix (Brown et al. 2020 flag training docs sharing any
+    * 13-gram with an eval example; later work uses 8–13). Complements the
+    * minhash DOC-level decontamination ([[Dedup.crossContamination]],
+    * q52): minhash catches near-duplicate documents, this catches a
+    * benchmark QUESTION quoted inside an otherwise-novel page, which
+    * doc-level similarity misses entirely.
+    *
+    * For each corpus doc: how many token positions sit inside a length-w
+    * window that appears verbatim in the benchmark. The benchmark side
+    * reduces to DISTINCT window hashes (tiny — eval sets are thousands of
+    * docs), so the join is benchmark-hash-sized and AQE broadcasts it;
+    * the corpus is never shuffled. Same positional interval-union as
+    * [[substringDupStats]]. Output: `(doc_id, n_tokens, n_contam_tokens,
+    * contam_fraction)` — callers drop docs over a threshold (GPT-3
+    * dropped on ANY hit, i.e. fraction > 0).
+    */
+  def ngramDecontaminate(docs: DataFrame, benchmark: DataFrame, w: Int = 10,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    require(w >= 2, s"window must be >= 2 tokens, got $w")
+    def starts(df: DataFrame, id: Column): DataFrame = df
+      .select(id.as("doc_id"), wordsCol(col(textCol)).as("__ws"))
+      .select(col("doc_id"), posexplode(gramsCol(col("__ws"), w)).as(Seq("pos", "gram")))
+      .select(col("doc_id"), col("pos"), xxhash64(col("gram")).as("wh"))
+    val benchWh = starts(benchmark, col(idCol)).select("wh").distinct()
+    val hits = starts(docs, col(idCol)).join(benchWh, Seq("wh"))
+      .select("doc_id", "pos")
+    val perDoc = hits.groupBy("doc_id")
+      .agg(sort_array(collect_set(col("pos"))).as("ps"))
+      .select(col("doc_id"),
+        aggregate(
+          zip_with(col("ps"),
+            slice(col("ps"), lit(2), greatest(size(col("ps")) - 1, lit(0))),
+            (a, b) => least(lit(w), b - a)),
+          lit(0L), (acc, x) => acc + x.cast("long"))
+          .cast("int").as("n_contam_tokens"))
+    docs.select(col(idCol).as("doc_id"),
+        size(wordsCol(col(textCol))).as("n_tokens"))
+      .join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tokens"),
+        coalesce(col("n_contam_tokens"), lit(0)).as("n_contam_tokens"),
+        when(col("n_tokens") === 0, 0.0)
+          .otherwise(coalesce(col("n_contam_tokens"), lit(0)).cast("double") /
+            col("n_tokens").cast("double"))
+          .as("contam_fraction"))
+  }
+
   /** Numeric order key in [0, 2³²): the first 8 hex digits of
     * `md5(id ":" salt)`. Lexicographic order of the full 32-hex string
     * equals numeric order of this prefix ties-then-remainder, which is

@@ -22,6 +22,7 @@ import org.apache.spark.sql.functions._
   *   CorpusCli redact         <docs.parquet> <out>   (PII scrub: email/URL/IP)
   *   CorpusCli dedup-incremental <warehouse> <batchId> <batch.parquet> <out> [minEstJaccard]
   *   CorpusCli dedup-replay   <warehouse> <batchId> <batch.parquet> <out> [minEstJaccard]
+  *   CorpusCli decontaminate-ngram <docs.parquet> <benchmark.parquet> <out> [w]
   *   CorpusCli substring-dup  <docs.parquet> <out> [w]   (positional dup signal)
   *   CorpusCli substring-dedup <docs.parquet> <out> [w]  (keep-one span removal)
   *   CorpusCli curate-stream  <docsDir> <out> <checkpointDir>
@@ -131,6 +132,13 @@ object CorpusCli {
           write(graft.ops.IncrementalDedup.replayAnnotation(
             store, batchId, spark.read.parquet(in), minEst), out))
 
+      case "decontaminate-ngram" =>
+        val Seq(in, bench, out) = args.slice(1, 4)
+        val w = if (args.length > 4) args(4).toInt else 10
+        summary("decontaminate-ngram", out,
+          write(Curation.ngramDecontaminate(
+            spark.read.parquet(in), spark.read.parquet(bench), w), out))
+
       case "substring-dup" =>
         val Seq(in, out) = args.slice(1, 3)
         val w = if (args.length > 3) args(3).toInt else 10
@@ -167,7 +175,7 @@ object CorpusCli {
           s"unknown command '$other' " +
             "(dedup-exact|dedup-clusters|decontaminate|split|pack|quality|" +
             "curate|source-cap|ann|redact|dedup-incremental|dedup-replay|" +
-            "substring-dup|substring-dedup|curate-stream)")
+            "decontaminate-ngram|substring-dup|substring-dedup|curate-stream)")
     }
   }
 

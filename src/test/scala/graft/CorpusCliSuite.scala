@@ -135,6 +135,17 @@ class CorpusCliSuite extends SparkFunSuite {
     assert(rep == orig)
   }
 
+  test("decontaminate-ngram command flags benchmark-quoting spans") {
+    Seq((900L, "the quick brown fox jumps over the lazy dog near the river bank"))
+      .toDF("doc_id", "text").write.mode("overwrite").parquet(s"$dir/ngbench")
+    val out = CorpusCli.run(Seq("decontaminate-ngram", s"$dir/docs",
+      s"$dir/ngbench", s"$dir/ng1", "10"), spark)
+    assert(out.head.contains("\"rows\":3"), out.head)
+    val contam = spark.read.parquet(s"$dir/ng1")
+      .select("doc_id", "n_contam_tokens").as[(Long, Int)].collect().toMap
+    assert(contam(0L) > 0 && contam(1L) > 0 && contam(2L) == 0)
+  }
+
   test("substring-dup and substring-dedup commands run the span family") {
     val o1 = CorpusCli.run(Seq("substring-dup", s"$dir/docs", s"$dir/ss1", "5"), spark)
     assert(o1.head.contains("\"rows\":3"), o1.head)

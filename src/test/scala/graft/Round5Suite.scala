@@ -184,6 +184,21 @@ class Round5Suite extends SparkFunSuite {
     assert(out(3L) == ((13, 10, "z1 z2 z3")))
   }
 
+  test("ngramDecontaminate flags exact spans quoted from the benchmark") {
+    val question = "what is the capital of the ancient kingdom of lydia"  // 10 tokens
+    val corpus = Seq(
+      (1L, s"intro words $question closing words"),  // quotes the question verbatim
+      (2L, "entirely unrelated content about spark adaptive query execution and shuffles here"),
+      (3L, question)                                  // IS the benchmark doc
+    ).toDF("doc_id", "text")
+    val bench = Seq((900L, question)).toDF("doc_id", "text")
+    val out = Curation.ngramDecontaminate(corpus, bench, w = 10).collect()
+      .map(r => r.getLong(0) -> ((r.getInt(1), r.getInt(2), r.getDouble(3)))).toMap
+    assert(out(1L) == ((14, 10, 10.0 / 14)))
+    assert(out(2L)._2 == 0)
+    assert(out(3L) == ((10, 10, 1.0)))
+  }
+
   test("capPerSource broadcast gate: results identical with and without hint path") {
     val docs = (0 until 200).map(i => (i.toLong, s"s${i % 7}")).toDF("doc_id", "source")
     val kept = Curation.capPerSource(docs, maxPerSource = 5)
