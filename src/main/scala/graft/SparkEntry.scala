@@ -355,6 +355,59 @@ object SparkEntry {
         .withColumn("doc_id", col("doc_id") + 1000000L)
       graft.ops.Curation.ngramDecontaminate(docs, bench, w = 10)
     }),
+    "q68_c4_lines" -> ((s, dir) => {
+      // the fixture text is single-line and punctuation-free, so the
+      // query splices deterministic STRUCTURE in (the q61 PII pattern):
+      // three 60-char chunks with terminal '.', one bare chunk, plus
+      // javascript / brace / lorem-ipsum lines on doc_id-keyed subsets —
+      // the oracle performs the identical concat, so every C4 rule fires
+      val docs = t(s, dir, "documents")
+      val enriched = docs.select(col("doc_id"), concat_ws("\n",
+        concat(substring(col("text"), 1, 60), lit(".")),
+        concat(substring(col("text"), 61, 60), lit(".")),
+        concat(substring(col("text"), 121, 60), lit(".")),
+        substring(col("text"), 181, 60),
+        when(col("doc_id") % 9 === 0,
+          lit("Please enable javascript to continue viewing."))
+          .otherwise(lit("")),
+        when(col("doc_id") % 13 === 0, lit("config = { mode: 1 }"))
+          .otherwise(lit("")),
+        when(col("doc_id") % 17 === 0,
+          lit("Lorem ipsum dolor sit amet consectetur adipiscing elit."))
+          .otherwise(lit(""))).as("text"))
+      graft.ops.Curation.c4LineClean(enriched)
+    }),
+    "q69_gopher_quality" -> ((s, dir) => {
+      // symbol-ratio and ellipsis-line rules need symbols the fixture
+      // lacks — spliced on doc_id-keyed subsets, mirrored in the oracle;
+      // word-count and stopword-presence vary naturally
+      val docs = t(s, dir, "documents")
+      val enriched = docs.select(col("doc_id"), concat(col("text"),
+        when(col("doc_id") % 6 === 0,
+          lit(" ### ### ### ### ### ### ### ###")).otherwise(lit("")),
+        when(col("doc_id") % 8 === 0, lit(" to be continued..."))
+          .otherwise(lit(""))).as("text"))
+      graft.ops.Curation.gopherQuality(enriched, minStopwords = 1)
+    }),
+    "q70_gopher_repetition" -> ((s, dir) => {
+      // the fixture text is single-line; deterministic line/paragraph
+      // STRUCTURE is spliced in (q68/q69 discipline): two-line
+      // paragraphs, a cross-paragraph duplicate line on doc_id%4, a
+      // whole duplicated paragraph on doc_id%5 — the oracle performs
+      // the identical concat so every repetition rule fires
+      val docs = t(s, dir, "documents")
+      val l1 = substring(col("text"), 1, 50)
+      val l2 = substring(col("text"), 51, 50)
+      val l3 = substring(col("text"), 101, 50)
+      val l4 = substring(col("text"), 151, 50)
+      val paraA = concat_ws("\n", l1, l2)
+      val paraB = concat_ws("\n", l3,
+        when(col("doc_id") % 4 === 0, l1).otherwise(l4))
+      val full = concat_ws("\n\n", paraA, paraB,
+        when(col("doc_id") % 5 === 0, paraA).otherwise(lit("")))
+      graft.ops.Curation.gopherRepetition(
+        docs.select(col("doc_id"), full.as("text")))
+    }),
     "q56_source_caps" -> ((s, dir) =>
       graft.ops.Curation.capPerSourceVerified(t(s, dir, "documents"),
         maxPerSource = 10)),
@@ -1157,6 +1210,147 @@ object SparkEntry {
         |       ELSE CAST(COALESCE(iu.ncon, 0) AS DOUBLE) / t.n_tokens
         |  END AS contam_fraction
         |FROM t LEFT JOIN iu USING (doc_id)""".stripMargin,
+    "q68_c4_lines" ->
+      // fixture-free: the identical enrichment concat, then the C4 rules
+      // replayed over DuckDB list functions (blank lines ignored on both
+      // sides, so concat_ws's empty entries cannot skew the counts)
+      """WITH e AS (SELECT doc_id, concat_ws(chr(10),
+        |    substring(text, 1, 60) || '.',
+        |    substring(text, 61, 60) || '.',
+        |    substring(text, 121, 60) || '.',
+        |    substring(text, 181, 60),
+        |    CASE WHEN doc_id % 9 = 0
+        |         THEN 'Please enable javascript to continue viewing.'
+        |         ELSE '' END,
+        |    CASE WHEN doc_id % 13 = 0 THEN 'config = { mode: 1 }'
+        |         ELSE '' END,
+        |    CASE WHEN doc_id % 17 = 0
+        |         THEN 'Lorem ipsum dolor sit amet consectetur adipiscing elit.'
+        |         ELSE '' END) AS text
+        |  FROM documents),
+        |l AS (SELECT doc_id, text,
+        |    list_filter(string_split(text, chr(10)),
+        |      x -> length(trim(x)) > 0) AS lines
+        |  FROM e),
+        |k AS (SELECT doc_id, text, lines,
+        |    list_filter(lines, x -> regexp_matches(trim(x), '[.!?"]$')
+        |      AND len(regexp_split_to_array(trim(x), '\s+')) >= 5
+        |      AND NOT contains(lower(x), 'javascript')) AS kept
+        |  FROM l)
+        |SELECT doc_id, CAST(len(lines) AS INT) AS n_lines,
+        |  CAST(len(kept) AS INT) AS n_kept_lines,
+        |  (NOT contains(lower(text), 'lorem ipsum')
+        |    AND NOT contains(text, '{') AND len(kept) >= 3) AS keep_page,
+        |  COALESCE(array_to_string(kept, chr(10)), '') AS clean_text
+        |FROM k""".stripMargin,
+    "q69_gopher_quality" ->
+      // fixture-free: same enrichment, Gopher table-A1 rules replayed —
+      // every ratio is one division of exact integer counts so the
+      // doubles agree bit-for-bit
+      """WITH e AS (SELECT doc_id, text ||
+        |    CASE WHEN doc_id % 6 = 0
+        |         THEN ' ### ### ### ### ### ### ### ###' ELSE '' END ||
+        |    CASE WHEN doc_id % 8 = 0 THEN ' to be continued...'
+        |         ELSE '' END AS text
+        |  FROM documents),
+        |w AS (SELECT doc_id, text,
+        |    CASE WHEN length(trim(text)) = 0 THEN []
+        |         ELSE regexp_split_to_array(trim(text), '\s+') END AS ws,
+        |    list_filter(string_split(text, chr(10)),
+        |      x -> length(trim(x)) > 0) AS lines
+        |  FROM e),
+        |c AS (SELECT doc_id, len(ws) AS n_words,
+        |    COALESCE(list_sum(list_transform(ws, x -> length(x))), 0) AS sum_len,
+        |    length(text) - length(replace(text, '#', '')) AS n_hash,
+        |    (length(text) - length(replace(text, '...', ''))) // 3
+        |      + (length(text) - length(replace(text, '…', ''))) AS n_dots,
+        |    len(lines) AS n_lines,
+        |    len(list_filter(lines, x -> starts_with(trim(x), '- ')
+        |      OR starts_with(trim(x), '• ')
+        |      OR starts_with(trim(x), '* '))) AS n_bullet,
+        |    len(list_filter(lines, x -> ends_with(trim(x), '...')
+        |      OR ends_with(trim(x), '…'))) AS n_ell,
+        |    len(list_filter(ws, x -> regexp_matches(x, '[A-Za-z]'))) AS n_alpha,
+        |    len(list_intersect(list_transform(ws, x -> lower(x)),
+        |      ['the','be','to','of','and','that','have','with'])) AS n_stop
+        |  FROM w),
+        |r AS (SELECT doc_id, n_words,
+        |    CASE WHEN n_words = 0 THEN 0.0
+        |         ELSE CAST(sum_len AS DOUBLE) / n_words END AS mean_word_len,
+        |    CASE WHEN n_words = 0 THEN 0.0
+        |         ELSE CAST(n_hash + n_dots AS DOUBLE) / n_words END AS symbol_ratio,
+        |    CASE WHEN n_lines = 0 THEN 0.0
+        |         ELSE CAST(n_bullet AS DOUBLE) / n_lines END AS bullet_frac,
+        |    CASE WHEN n_lines = 0 THEN 0.0
+        |         ELSE CAST(n_ell AS DOUBLE) / n_lines END AS ellipsis_frac,
+        |    CASE WHEN n_words = 0 THEN 0.0
+        |         ELSE CAST(n_alpha AS DOUBLE) / n_words END AS alpha_frac,
+        |    n_stop
+        |  FROM c)
+        |SELECT doc_id, CAST(n_words AS INT) AS n_words, mean_word_len,
+        |  symbol_ratio, bullet_frac, ellipsis_frac, alpha_frac,
+        |  CAST(n_stop AS INT) AS n_stopwords,
+        |  (n_words >= 50 AND n_words <= 100000
+        |    AND mean_word_len >= 3.0 AND mean_word_len <= 10.0
+        |    AND symbol_ratio <= 0.1 AND bullet_frac <= 0.9
+        |    AND ellipsis_frac <= 0.3 AND alpha_frac >= 0.8
+        |    AND n_stop >= 1) AS gopher_pass
+        |FROM r""".stripMargin,
+    "q70_gopher_repetition" ->
+      // fixture-free: the identical structural concat, then the Gopher
+      // repetition rules replayed over DuckDB list functions; duplicate
+      // char mass = total mass - mass(list_distinct), exactly the
+      // operator's identity, and every ratio is one division of exact
+      // integer counts so the doubles agree bit-for-bit
+      """WITH e AS (SELECT doc_id, concat_ws(chr(10)||chr(10),
+        |    concat_ws(chr(10), substring(text, 1, 50),
+        |      substring(text, 51, 50)),
+        |    concat_ws(chr(10), substring(text, 101, 50),
+        |      CASE WHEN doc_id % 4 = 0 THEN substring(text, 1, 50)
+        |           ELSE substring(text, 151, 50) END),
+        |    CASE WHEN doc_id % 5 = 0
+        |         THEN concat_ws(chr(10), substring(text, 1, 50),
+        |           substring(text, 51, 50))
+        |         ELSE '' END) AS text
+        |  FROM documents),
+        |a AS (SELECT doc_id,
+        |    list_filter(list_transform(string_split(text, chr(10)),
+        |      x -> trim(x)), x -> length(x) > 0) AS lines,
+        |    list_filter(list_transform(
+        |      string_split(text, chr(10)||chr(10)),
+        |      x -> trim(x)), x -> length(x) > 0) AS paras
+        |  FROM e),
+        |c AS (SELECT doc_id,
+        |    len(lines) AS nl, len(list_distinct(lines)) AS ndl,
+        |    COALESCE(list_sum(list_transform(lines,
+        |      x -> length(x))), 0) AS ml,
+        |    COALESCE(list_sum(list_transform(list_distinct(lines),
+        |      x -> length(x))), 0) AS dml,
+        |    len(paras) AS np, len(list_distinct(paras)) AS ndp,
+        |    COALESCE(list_sum(list_transform(paras,
+        |      x -> length(x))), 0) AS mp,
+        |    COALESCE(list_sum(list_transform(list_distinct(paras),
+        |      x -> length(x))), 0) AS dmp
+        |  FROM a),
+        |r AS (SELECT doc_id,
+        |    CAST(nl AS INT) AS n_lines, CAST(ndl AS INT) AS n_distinct_lines,
+        |    CASE WHEN nl = 0 THEN 0.0
+        |         ELSE CAST(nl - ndl AS DOUBLE) / nl END AS dup_line_frac,
+        |    CASE WHEN ml = 0 THEN 0.0
+        |         ELSE CAST(ml - dml AS DOUBLE) / ml END AS dup_line_char_frac,
+        |    CAST(np AS INT) AS n_paras, CAST(ndp AS INT) AS n_distinct_paras,
+        |    CASE WHEN np = 0 THEN 0.0
+        |         ELSE CAST(np - ndp AS DOUBLE) / np END AS dup_para_frac,
+        |    CASE WHEN mp = 0 THEN 0.0
+        |         ELSE CAST(mp - dmp AS DOUBLE) / mp END AS dup_para_char_frac
+        |  FROM c)
+        |SELECT doc_id, n_lines, n_distinct_lines, dup_line_frac,
+        |  dup_line_char_frac, n_paras, n_distinct_paras, dup_para_frac,
+        |  dup_para_char_frac,
+        |  (dup_line_frac <= 0.3 AND dup_line_char_frac <= 0.2
+        |    AND dup_para_frac <= 0.3
+        |    AND dup_para_char_frac <= 0.2) AS repetition_pass
+        |FROM r""".stripMargin,
     "q56_source_caps" ->
       // fixture-free: row_number over the same salted-md5 order; the
       // operator's hash-prefix pre-filter is provably rank-preserving so

@@ -172,9 +172,10 @@ object Curation {
     * Scale shape: identical to [[substringDupStats]] up to the dup-start
     * set (hashed windows, partial-agg keeper/df per window hash, AQE
     * skew-join back), then ONE per-doc rewrite pass with array
-    * higher-order functions — the collected removable-start array is
-    * bounded by the doc's own token count. Output:
-    * `(doc_id, n_tokens, n_removed, clean_text)`.
+    * higher-order functions: kept indices are the GAP SEQUENCES between
+    * the sorted removable starts — O(n_tokens) per doc — and the
+    * collected start array is bounded by the doc's own token count.
+    * Output: `(doc_id, n_tokens, n_removed, clean_text)`.
     */
   def substringDedup(docs: DataFrame, w: Int = 10,
       idCol: String = "doc_id"): DataFrame = {
@@ -197,13 +198,28 @@ object Curation {
       .select("doc_id", "pos")
     val perDoc = removable.groupBy("doc_id")
       .agg(sort_array(collect_set(col("pos"))).as("ps"))
-    // positional rewrite: kept = indices outside every [q, q+w) interval;
-    // guard sequence() against empty docs (sequence(0,-1) DESCENDS)
-    val idxs = when(size(col("__ws")) === 0, array().cast("array<int>"))
-      .otherwise(sequence(lit(0), size(col("__ws")) - 1))
+    // positional rewrite: kept = indices outside every [q, q+w) interval.
+    // ps is SORTED, so the complement is exactly the gaps — before the
+    // first start, between consecutive starts (empty when they overlap),
+    // and after the last — O(n_tokens) per doc. The naive form (filter
+    // every index with exists(ps, ...)) is O(n_tokens × |ps|): quadratic
+    // for a long fully-duplicated doc, a per-task straggler at scale.
+    // sequence(lo, hi) DESCENDS when hi < lo, so every gap is guarded.
+    def gapSeq(lo: Column, hi: Column): Column =
+      when(hi >= lo, sequence(lo, hi)).otherwise(array().cast("array<int>"))
     val ps = coalesce(col("ps"), array().cast("array<int>"))
-    val kept = filter(idxs, i =>
-      !exists(ps, q => q <= i && i < q + lit(w)))
+    val lastIdx = size(col("__ws")) - 1
+    // zip_with pads the shifted array with null; gapSeq(a+w, null-1) is
+    // null-condition → empty, so the final element contributes nothing
+    // here and the trailing gap is added explicitly
+    val betweenGaps = flatten(zip_with(ps,
+      slice(ps, lit(2), greatest(size(ps) - 1, lit(0))),
+      (a, b) => gapSeq(a + lit(w), b - 1)))
+    val kept = when(size(ps) === 0, gapSeq(lit(0), lastIdx))
+      .otherwise(concat(
+        gapSeq(lit(0), element_at(ps, 1) - 1),
+        betweenGaps,
+        gapSeq(element_at(ps, -1) + lit(w), lastIdx)))
     toks.join(perDoc, Seq("doc_id"), "left")
       .select(col("doc_id"), col("n_tokens"),
         (col("n_tokens") - size(kept)).as("n_removed"),
@@ -373,6 +389,155 @@ object Curation {
       regexp_count(afterEmail, lit(UrlPattern)).as("n_urls"),
       regexp_count(afterUrl, lit(Ipv4Pattern)).as("n_ips"),
       regexp_replace(afterUrl, Ipv4Pattern, "<IP>").as("text_redacted"))
+  }
+
+  /** C4-style line-level cleaning (Raffel et al. 2020 §2.2 — the rules
+    * that built the C4 corpus). A LINE survives iff it ends in a terminal
+    * punctuation mark (`. ! ? "`), has at least `minLineWords` words, and
+    * does not mention javascript; a PAGE survives iff its text contains
+    * no `{`, no "lorem ipsum" (case-insensitive), and at least
+    * `minKeptLines` lines survived. Blank lines are ignored entirely —
+    * neither counted nor kept — so both engines agree regardless of how
+    * the line source pads.
+    *
+    * Pure per-document array/regexp expressions: no UDF, no shuffle —
+    * the whole gate scan-pipelines under whole-stage codegen and column
+    * pruning reaches the parquet scan (the 100-TB shape: this runs AT the
+    * read, not as a stage). Output: `(doc_id, n_lines, n_kept_lines,
+    * keep_page, clean_text)`; clean_text rejoins kept lines with `\n`.
+    */
+  def c4LineClean(docs: DataFrame, minLineWords: Int = 5,
+      minKeptLines: Int = 3, idCol: String = "doc_id"): DataFrame = {
+    val lines = filter(split(col("text"), "\n"),
+      l => length(trim(l)) > 0)
+    val kept = filter(lines, l =>
+      trim(l).rlike("[.!?\"]$") &&
+        size(split(trim(l), "\\s+")) >= minLineWords &&
+        !lower(l).contains("javascript"))
+    docs.select(col(idCol).as("doc_id"),
+        lines.as("__lines"), kept.as("__kept"), col("text"))
+      .select(col("doc_id"),
+        size(col("__lines")).as("n_lines"),
+        size(col("__kept")).as("n_kept_lines"),
+        (!lower(col("text")).contains("lorem ipsum") &&
+          !col("text").contains("{") &&
+          size(col("__kept")) >= minKeptLines).as("keep_page"),
+        array_join(col("__kept"), "\n").as("clean_text"))
+  }
+
+  /** Gopher/MassiveText document-quality rules (Rae et al. 2021,
+    * table A1) — the heuristic gate most open web corpora since have
+    * reused: word-count bounds, mean-word-length bounds, symbol-to-word
+    * ratio (`#` and ellipsis), bullet-line and ellipsis-line fractions,
+    * fraction of words containing a letter, and a minimum count of
+    * DISTINCT high-frequency English stopwords present. Emits every
+    * signal (so rejection reasons stay queryable) plus the conjunction
+    * as `gopher_pass`.
+    *
+    * Every ratio is one division of exact integer counts, so Spark and a
+    * sequential SQL oracle agree bit-exactly (same discipline as
+    * [[unigramRarity]]); everything is a pure column expression — no
+    * UDF, no shuffle, scan-pipelined. Tokenization matches
+    * [[TextAnalysis.tokenCount]] (trim, split `\s+`).
+    */
+  def gopherQuality(docs: DataFrame,
+      minWords: Int = 50, maxWords: Int = 100000,
+      minMeanWordLen: Double = 3.0, maxMeanWordLen: Double = 10.0,
+      maxSymbolRatio: Double = 0.1, maxBulletFrac: Double = 0.9,
+      maxEllipsisFrac: Double = 0.3, minAlphaFrac: Double = 0.8,
+      minStopwords: Int = 2, idCol: String = "doc_id"): DataFrame = {
+    val ws = wordsCol(col("text"))
+    val nWords = size(ws)
+    val sumLen = aggregate(ws, lit(0L), (acc, x) => acc + length(x))
+    // '…' is one CHARACTER in both engines' length(); '...' counts as
+    // length delta / 3 — both are plain replace, no regex needed
+    val nHash = length(col("text")) -
+      length(replace(col("text"), lit("#"), lit("")))
+    val nDots = (length(col("text")) -
+      length(replace(col("text"), lit("..."), lit("")))) / 3 +
+      (length(col("text")) - length(replace(col("text"), lit("…"), lit(""))))
+    val lines = filter(split(col("text"), "\n"), l => length(trim(l)) > 0)
+    val nLines = size(lines)
+    val nBullet = size(filter(lines, l =>
+      trim(l).startsWith("- ") || trim(l).startsWith("• ") ||
+        trim(l).startsWith("* ")))
+    val nEllLine = size(filter(lines, l =>
+      trim(l).endsWith("...") || trim(l).endsWith("…")))
+    val nAlpha = size(filter(ws, w => w.rlike("[A-Za-z]")))
+    val stops = array(GopherStopwords.map(lit): _*)
+    val nStop = size(array_intersect(transform(ws, w => lower(w)), stops))
+    def ratio(num: Column, den: Column): Column =
+      when(den === 0, 0.0).otherwise(num.cast("double") / den.cast("double"))
+    val base = docs.select(col(idCol).as("doc_id"),
+      nWords.as("n_words"),
+      ratio(sumLen, nWords).as("mean_word_len"),
+      ratio(nHash + nDots, nWords).as("symbol_ratio"),
+      ratio(nBullet, nLines).as("bullet_frac"),
+      ratio(nEllLine, nLines).as("ellipsis_frac"),
+      ratio(nAlpha, nWords).as("alpha_frac"),
+      nStop.as("n_stopwords"))
+    base.withColumn("gopher_pass",
+      col("n_words") >= minWords && col("n_words") <= maxWords &&
+        col("mean_word_len") >= minMeanWordLen &&
+        col("mean_word_len") <= maxMeanWordLen &&
+        col("symbol_ratio") <= maxSymbolRatio &&
+        col("bullet_frac") <= maxBulletFrac &&
+        col("ellipsis_frac") <= maxEllipsisFrac &&
+        col("alpha_frac") >= minAlphaFrac &&
+        col("n_stopwords") >= minStopwords)
+  }
+
+  /** Gopher's "stop word" presence list (Rae et al. 2021 table A1: a doc
+    * must contain ≥2 of these to pass).
+    */
+  val GopherStopwords: Seq[String] =
+    Seq("the", "be", "to", "of", "and", "that", "have", "with")
+
+  /** Gopher/MassiveText REPETITION rules (Rae et al. 2021, table A1
+    * second block) — the structural-duplication signals that
+    * [[TextAnalysis.repetition]]'s n-gram pass does not cover: the
+    * fraction of duplicate LINES and duplicate PARAGRAPHS, each measured
+    * two ways — by occurrence count and by character mass (a page whose
+    * one duplicated line is 90 % of its bytes is worse than one that
+    * repeats a 3-char bullet). Lines split on `\n`, paragraphs on
+    * `\n\n`; both trimmed, blanks dropped, compared exactly.
+    *
+    * The duplicate character mass needs no per-key counting: each copy
+    * beyond the first contributes its own length, so
+    * `dup_mass = total_mass − mass(array_distinct(items))` — pure
+    * per-row array expressions, no explode, no shuffle, scan-pipelined
+    * under whole-stage codegen (the 100-TB shape: a second pass over the
+    * corpus costs one scan). Ratios are single divisions of exact
+    * integer counts, so a sequential SQL oracle agrees bit-exactly.
+    * Output: `(doc_id, n_lines, n_distinct_lines, dup_line_frac,
+    * dup_line_char_frac, n_paras, n_distinct_paras, dup_para_frac,
+    * dup_para_char_frac, repetition_pass)`.
+    */
+  def gopherRepetition(docs: DataFrame,
+      maxDupLineFrac: Double = 0.3, maxDupLineCharFrac: Double = 0.2,
+      maxDupParaFrac: Double = 0.3, maxDupParaCharFrac: Double = 0.2,
+      idCol: String = "doc_id"): DataFrame = {
+    def items(sep: String): Column =
+      filter(transform(split(col("text"), sep), x => trim(x)),
+        x => length(x) > 0)
+    def frac(num: Column, den: Column): Column =
+      when(den === 0, 0.0).otherwise(num.cast("double") / den.cast("double"))
+    def mass(arr: Column): Column =
+      aggregate(arr, lit(0L), (acc, x) => acc + length(x))
+    def stats(arr: Column, pfx: String): Seq[Column] = {
+      val n = size(arr); val nd = size(array_distinct(arr))
+      val m = mass(arr); val dm = mass(array_distinct(arr))
+      Seq(n.as(s"n_$pfx"), nd.as(s"n_distinct_$pfx"),
+        frac(n - nd, n).as(s"dup_${pfx.dropRight(1)}_frac"),
+        frac(m - dm, m).as(s"dup_${pfx.dropRight(1)}_char_frac"))
+    }
+    docs.select(col(idCol).as("doc_id") +:
+        (stats(items("\n"), "lines") ++ stats(items("\n\n"), "paras")): _*)
+      .withColumn("repetition_pass",
+        col("dup_line_frac") <= maxDupLineFrac &&
+          col("dup_line_char_frac") <= maxDupLineCharFrac &&
+          col("dup_para_frac") <= maxDupParaFrac &&
+          col("dup_para_char_frac") <= maxDupParaCharFrac)
   }
 
   /** The composed curation verdict — every per-doc signal this package

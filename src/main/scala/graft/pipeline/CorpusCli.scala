@@ -26,6 +26,9 @@ import org.apache.spark.sql.functions._
   *   CorpusCli substring-dup  <docs.parquet> <out> [w]   (positional dup signal)
   *   CorpusCli substring-dedup <docs.parquet> <out> [w]  (keep-one span removal)
   *   CorpusCli curate-stream  <docsDir> <out> <checkpointDir>
+  *   CorpusCli c4-clean       <docs.parquet> <out>   (C4 line rules + page gate)
+  *   CorpusCli gopher-quality <docs.parquet> <out>   (Gopher table-A1 doc gate)
+  *   CorpusCli gopher-repetition <docs.parquet> <out> (dup line/para fractions)
   *
   * Every command is a straight mapping onto one `graft.ops` operator, so
   * the CLI adds no semantics — it only binds IO.
@@ -112,6 +115,21 @@ object CorpusCli {
         val Seq(in, out) = args.slice(1, 3)
         summary("redact", out,
           write(Curation.redactPii(spark.read.parquet(in)), out))
+
+      case "c4-clean" =>
+        val Seq(in, out) = args.slice(1, 3)
+        summary("c4-clean", out,
+          write(Curation.c4LineClean(spark.read.parquet(in)), out))
+
+      case "gopher-quality" =>
+        val Seq(in, out) = args.slice(1, 3)
+        summary("gopher-quality", out,
+          write(Curation.gopherQuality(spark.read.parquet(in)), out))
+
+      case "gopher-repetition" =>
+        val Seq(in, out) = args.slice(1, 3)
+        summary("gopher-repetition", out,
+          write(Curation.gopherRepetition(spark.read.parquet(in)), out))
 
       case "dedup-incremental" =>
         // <warehouse> <batchId> <batch.parquet> <out> [minEstJaccard]

@@ -169,4 +169,18 @@ class CorpusCliSuite extends SparkFunSuite {
       .select("doc_id", "novel").as[(Long, Boolean)].collect().toMap
     assert(novel == Map(0L -> true, 1L -> false))
   }
+
+  test("c4-clean / gopher-quality / gopher-repetition commands run end-to-end") {
+    val o1 = CorpusCli.run(Seq("c4-clean", s"$dir/docs", s"$dir/c4"), spark)
+    assert(o1.head.contains("\"rows\":3"), o1.head)
+    assert(spark.read.parquet(s"$dir/c4").columns.contains("keep_page"))
+    val o2 = CorpusCli.run(Seq("gopher-quality", s"$dir/docs", s"$dir/gq"), spark)
+    assert(o2.head.contains("\"rows\":3"), o2.head)
+    assert(spark.read.parquet(s"$dir/gq").columns.contains("gopher_pass"))
+    val o3 = CorpusCli.run(Seq("gopher-repetition", s"$dir/docs", s"$dir/gr"), spark)
+    assert(o3.head.contains("\"rows\":3"), o3.head)
+    // fixture docs are single-line with no duplicate structure → all pass
+    val pass = spark.read.parquet(s"$dir/gr").filter($"repetition_pass").count()
+    assert(pass == 3)
+  }
 }

@@ -334,4 +334,70 @@ class Round5Suite extends SparkFunSuite {
     assert(sess.nonEmpty && sess.forall(_.getString(0).startsWith("sess-9:")))
     assert(sess.exists(_.getString(2).contains("thirty minutes")))
   }
+
+  // ---- C4 / Gopher web-corpus gates --------------------------------------
+
+  test("c4LineClean keeps terminal-punctuation lines and gates the page") {
+    val docs = Seq(
+      (1L, "This is a good sentence with enough words here.\nshort.\n" +
+        "Another quality sentence ends with punctuation mark!\n" +
+        "Please enable javascript to view this content now.\n" +
+        "A third full sentence survives the line filter today."),
+      (2L, "Lorem ipsum dolor sit amet consectetur adipiscing elit now.\n" +
+        "Another quality sentence ends with punctuation mark!\n" +
+        "A third full sentence survives the line filter today."),
+      (3L, "var config = { mode: 1 }\n" +
+        "One good sentence that would otherwise keep this page alive.\n" +
+        "Second good sentence that would keep the page alive too.\n" +
+        "Third good sentence that keeps the page alive as well.")
+    ).toDF("doc_id", "text")
+    val out = Curation.c4LineClean(docs).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    // doc 1: 5 lines; "short." (<5 words) and the javascript line drop
+    assert(out(1L).getInt(1) == 5 && out(1L).getInt(2) == 3)
+    assert(out(1L).getBoolean(3))
+    assert(out(1L).getString(4) ==
+      "This is a good sentence with enough words here.\n" +
+        "Another quality sentence ends with punctuation mark!\n" +
+        "A third full sentence survives the line filter today.")
+    // doc 2: lines survive individually but "lorem ipsum" kills the page
+    assert(out(2L).getInt(2) == 3 && !out(2L).getBoolean(3))
+    // doc 3: '{' kills the page; the code line also fails the line rules
+    assert(out(3L).getInt(2) == 3 && !out(3L).getBoolean(3))
+  }
+
+  test("gopherQuality passes clean prose and fails short/symbol-heavy docs") {
+    val sentence = "the quick brown fox jumps over and around the lazy dog today "
+    val docs = Seq(
+      (1L, sentence * 5),                                  // 60 clean words
+      (2L, "short text here."),                            // too few words
+      (3L, sentence * 5 + "### ### ### ### ### ### ###")   // symbol-heavy
+    ).toDF("doc_id", "text")
+    val out = Curation.gopherQuality(docs).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(out(1L).getInt(1) == 60 && out(1L).getBoolean(8))
+    assert(out(2L).getInt(1) == 3 && !out(2L).getBoolean(8))
+    val r3 = out(3L)
+    assert(r3.getDouble(3) > 0.1 && !r3.getBoolean(8)) // symbol_ratio trips
+  }
+
+  test("gopherRepetition measures dup lines/paragraphs by count and char mass") {
+    val docs = Seq(
+      (1L, "alpha beta\ngamma delta\nalpha beta\n\ngamma delta epsilon"),
+      (2L, "one two three\n\none two three"),
+      (3L, "")
+    ).toDF("doc_id", "text")
+    val out = Curation.gopherRepetition(docs).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    // doc 1: 4 lines, 3 distinct → 0.25 by count; 10/50 = 0.2 by mass
+    assert(out(1L).getInt(1) == 4 && out(1L).getInt(2) == 3)
+    assert(out(1L).getDouble(3) == 0.25 && out(1L).getDouble(4) == 0.2)
+    assert(out(1L).getInt(5) == 2 && out(1L).getInt(6) == 2)
+    assert(out(1L).getDouble(7) == 0.0 && out(1L).getBoolean(9))
+    // doc 2: a fully duplicated paragraph (and line) → fails both axes
+    assert(out(2L).getDouble(3) == 0.5 && out(2L).getDouble(7) == 0.5)
+    assert(!out(2L).getBoolean(9))
+    // doc 3: empty → all-zero signals, vacuously passes
+    assert(out(3L).getInt(1) == 0 && out(3L).getBoolean(9))
+  }
 }
