@@ -274,4 +274,20 @@ class PlanQualitySuite extends SparkFunSuite {
       "signature build must not pay the UDF boundary:\n" + plan.take(2000))
     assert(plan.contains("graft_simhash_sig"), plan.take(2000))
   }
+
+  test("C4 / Gopher gates are UDF-free zero-exchange scan pipelines with pruned reads") {
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    for ((name, df) <- Seq(
+        "c4LineClean" -> graft.ops.Curation.c4LineClean(docs),
+        "gopherQuality" -> graft.ops.Curation.gopherQuality(docs),
+        "gopherRepetition" -> graft.ops.Curation.gopherRepetition(docs))) {
+      val plan = planOf(df)
+      assert(!plan.contains("Exchange"), s"$name must not shuffle:\n" + plan.take(2000))
+      assert(!plan.contains("ScalaUDF"), s"$name must stay codegen'd:\n" + plan.take(2000))
+      val readSchema = plan.linesIterator.find(_.contains("ReadSchema:")).getOrElse("")
+      assert(readSchema.contains("doc_id") && readSchema.contains("text") &&
+        !readSchema.contains("n_chars") && !readSchema.contains("source"),
+        s"$name read not pruned to (doc_id, text): " + readSchema)
+    }
+  }
 }
