@@ -54,8 +54,14 @@ object Bench {
     // the raw runs stay in the JSON — the host's measured ±30 % single-run
     // band (BASELINE.md) otherwise dominates round-over-round reads.
     val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt
+    // optional comma-separated query subset — local dev only (the driver
+    // sets no filter and measures everything)
+    val only: Option[Set[String]] =
+      sys.env.get("SPARK_GRAFT_BENCH_ONLY").map(_.split(",").toSet)
     val errors = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    val results = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (name, _) => only.forall(_.contains(name)) }
+      .map { case (name, fn) =>
       val runs = (0 until reps).map { _ =>
         val q0 = System.nanoTime()
         // a failed query must be LOUD: a swallowed exception records ~0 s
