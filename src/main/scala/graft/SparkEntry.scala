@@ -408,6 +408,23 @@ object SparkEntry {
       graft.ops.Curation.gopherRepetition(
         docs.select(col("doc_id"), full.as("text")))
     }),
+    "q71_dedup_paragraphs" -> ((s, dir) => {
+      // same structural splice as q70 (duplicate paragraph on doc_id%5,
+      // cross-paragraph duplicate line on doc_id%4) — the transform must
+      // drop the repeated paragraph and keep first occurrences in order
+      val docs = t(s, dir, "documents")
+      val l1 = substring(col("text"), 1, 50)
+      val l2 = substring(col("text"), 51, 50)
+      val l3 = substring(col("text"), 101, 50)
+      val l4 = substring(col("text"), 151, 50)
+      val paraA = concat_ws("\n", l1, l2)
+      val paraB = concat_ws("\n", l3,
+        when(col("doc_id") % 4 === 0, l1).otherwise(l4))
+      val full = concat_ws("\n\n", paraA, paraB,
+        when(col("doc_id") % 5 === 0, paraA).otherwise(lit("")))
+      graft.ops.Curation.dedupParagraphs(
+        docs.select(col("doc_id"), full.as("text")))
+    }),
     "q56_source_caps" -> ((s, dir) =>
       graft.ops.Curation.capPerSourceVerified(t(s, dir, "documents"),
         maxPerSource = 10)),
@@ -1351,6 +1368,34 @@ object SparkEntry {
         |    AND dup_para_frac <= 0.3
         |    AND dup_para_char_frac <= 0.2) AS repetition_pass
         |FROM r""".stripMargin,
+    "q71_dedup_paragraphs" ->
+      // fixture-free: identical splice, then first-occurrence paragraph
+      // selection replayed with DuckDB's 1-based indexed lambda (Spark's
+      // filter index is 0-based; both keep iff first position == own)
+      """WITH e AS (SELECT doc_id, concat_ws(chr(10)||chr(10),
+        |    concat_ws(chr(10), substring(text, 1, 50),
+        |      substring(text, 51, 50)),
+        |    concat_ws(chr(10), substring(text, 101, 50),
+        |      CASE WHEN doc_id % 4 = 0 THEN substring(text, 1, 50)
+        |           ELSE substring(text, 151, 50) END),
+        |    CASE WHEN doc_id % 5 = 0
+        |         THEN concat_ws(chr(10), substring(text, 1, 50),
+        |           substring(text, 51, 50))
+        |         ELSE '' END) AS text
+        |  FROM documents),
+        |a AS (SELECT doc_id,
+        |    list_filter(list_transform(
+        |      string_split(text, chr(10)||chr(10)),
+        |      x -> trim(x)), x -> length(x) > 0) AS parts
+        |  FROM e),
+        |k AS (SELECT doc_id, parts,
+        |    list_filter(parts,
+        |      (x, i) -> list_position(parts, x) = i) AS kept
+        |  FROM a)
+        |SELECT doc_id, CAST(len(parts) AS INT) AS n_parts,
+        |  CAST(len(kept) AS INT) AS n_kept,
+        |  COALESCE(array_to_string(kept, chr(10)||chr(10)), '') AS clean_text
+        |FROM k""".stripMargin,
     "q56_source_caps" ->
       // fixture-free: row_number over the same salted-md5 order; the
       // operator's hash-prefix pre-filter is provably rank-preserving so

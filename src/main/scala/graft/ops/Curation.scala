@@ -540,6 +540,35 @@ object Curation {
           col("dup_para_char_frac") <= maxDupParaCharFrac)
   }
 
+  /** Within-document structural dedup — the REMOVAL companion to
+    * [[gopherRepetition]]'s filters: rewrite each document keeping only
+    * the FIRST occurrence of every repeated paragraph (boilerplate
+    * banners, repeated footers, generation loops), preserving original
+    * order. Paragraphs split on `sep` (default `\n\n`), trimmed, blanks
+    * dropped; kept paragraphs rejoin with `sep`.
+    *
+    * First-occurrence selection is a pure array expression —
+    * `array_position(parts, x) == i+1` inside a higher-order filter —
+    * O(p²) in the doc's own paragraph count (bounded per row, no state),
+    * so the transform stays a zero-shuffle scan pipeline under
+    * whole-stage codegen like the other gates. Output:
+    * `(doc_id, n_parts, n_kept, clean_text)`.
+    */
+  def dedupParagraphs(docs: DataFrame, sep: String = "\n\n",
+      idCol: String = "doc_id"): DataFrame = {
+    val parts = filter(transform(split(col("text"), sep), x => trim(x)),
+      x => length(x) > 0)
+    docs.select(col(idCol).as("doc_id"), parts.as("__parts"))
+      .select(col("doc_id"),
+        filter(col("__parts"),
+          (x, i) => array_position(col("__parts"), x) === i + 1)
+          .as("__kept"), col("__parts"))
+      .select(col("doc_id"),
+        size(col("__parts")).as("n_parts"),
+        size(col("__kept")).as("n_kept"),
+        array_join(col("__kept"), sep).as("clean_text"))
+  }
+
   /** The composed curation verdict — every per-doc signal this package
     * and [[TextAnalysis]] produce, conjoined into one `kept` flag the
     * way a production training-data pipeline would gate documents:

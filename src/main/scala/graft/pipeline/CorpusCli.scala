@@ -29,6 +29,7 @@ import org.apache.spark.sql.functions._
   *   CorpusCli c4-clean       <docs.parquet> <out>   (C4 line rules + page gate)
   *   CorpusCli gopher-quality <docs.parquet> <out>   (Gopher table-A1 doc gate)
   *   CorpusCli gopher-repetition <docs.parquet> <out> (dup line/para fractions)
+  *   CorpusCli dedup-paragraphs <docs.parquet> <out>  (keep first occurrence)
   *
   * Every command is a straight mapping onto one `graft.ops` operator, so
   * the CLI adds no semantics — it only binds IO.
@@ -130,6 +131,11 @@ object CorpusCli {
         val Seq(in, out) = args.slice(1, 3)
         summary("gopher-repetition", out,
           write(Curation.gopherRepetition(spark.read.parquet(in)), out))
+
+      case "dedup-paragraphs" =>
+        val Seq(in, out) = args.slice(1, 3)
+        summary("dedup-paragraphs", out,
+          write(Curation.dedupParagraphs(spark.read.parquet(in)), out))
 
       case "dedup-incremental" =>
         // <warehouse> <batchId> <batch.parquet> <out> [minEstJaccard]

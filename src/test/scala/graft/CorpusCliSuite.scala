@@ -182,5 +182,11 @@ class CorpusCliSuite extends SparkFunSuite {
     // fixture docs are single-line with no duplicate structure → all pass
     val pass = spark.read.parquet(s"$dir/gr").filter($"repetition_pass").count()
     assert(pass == 3)
+    val o4 = CorpusCli.run(Seq("dedup-paragraphs", s"$dir/docs", s"$dir/dp"), spark)
+    assert(o4.head.contains("\"rows\":3"), o4.head)
+    // single-paragraph docs: nothing to drop, text round-trips
+    val kept = spark.read.parquet(s"$dir/dp")
+      .select("n_parts", "n_kept").as[(Int, Int)].collect()
+    assert(kept.forall { case (p, k) => p == 1 && k == 1 })
   }
 }

@@ -280,7 +280,8 @@ class PlanQualitySuite extends SparkFunSuite {
     for ((name, df) <- Seq(
         "c4LineClean" -> graft.ops.Curation.c4LineClean(docs),
         "gopherQuality" -> graft.ops.Curation.gopherQuality(docs),
-        "gopherRepetition" -> graft.ops.Curation.gopherRepetition(docs))) {
+        "gopherRepetition" -> graft.ops.Curation.gopherRepetition(docs),
+        "dedupParagraphs" -> graft.ops.Curation.dedupParagraphs(docs))) {
       val plan = planOf(df)
       assert(!plan.contains("Exchange"), s"$name must not shuffle:\n" + plan.take(2000))
       assert(!plan.contains("ScalaUDF"), s"$name must stay codegen'd:\n" + plan.take(2000))

@@ -400,4 +400,18 @@ class Round5Suite extends SparkFunSuite {
     // doc 3: empty → all-zero signals, vacuously passes
     assert(out(3L).getInt(1) == 0 && out(3L).getBoolean(9))
   }
+
+  test("dedupParagraphs keeps first occurrences in original order") {
+    val docs = Seq(
+      (1L, "header\n\nbody one\n\nheader\n\nbody two\n\nheader"),
+      (2L, "only paragraph"),
+      (3L, "")
+    ).toDF("doc_id", "text")
+    val out = Curation.dedupParagraphs(docs).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(out(1L).getInt(1) == 5 && out(1L).getInt(2) == 3)
+    assert(out(1L).getString(3) == "header\n\nbody one\n\nbody two")
+    assert(out(2L).getInt(1) == 1 && out(2L).getString(3) == "only paragraph")
+    assert(out(3L).getInt(1) == 0 && out(3L).getString(3) == "")
+  }
 }
