@@ -338,6 +338,11 @@ object SparkEntry {
     "q51_split_assign" -> ((s, dir) =>
       graft.ops.Sampling.assignSplits(t(s, dir, "documents"))
         .select("doc_id", "bucket", "split")),
+    "q72_resample_mix" -> ((s, dir) =>
+      graft.ops.Sampling.resampleSources(
+        t(s, dir, "documents").select("doc_id", "source"),
+        Map("src0" -> 250, "src1" -> 500, "src2" -> 0),
+        defaultPermille = 800)),
     "q54_repetition" -> ((s, dir) =>
       TextAnalysis.repetition(t(s, dir, "documents"))),
     "q55_shared_grams" -> ((s, dir) =>
@@ -1659,6 +1664,20 @@ object SparkEntry {
         |SELECT doc_id, bucket,
         |  CASE WHEN bucket < 900 THEN 'train'
         |       WHEN bucket < 950 THEN 'val' ELSE 'test' END AS split
+        |FROM b""".stripMargin,
+    "q72_resample_mix" ->
+      // fixture-free: same md5 permille bucket (q51 idiom, ':graft-mix'
+      // salt), per-source rate CASE, keep iff bucket < rate
+      """WITH b AS (SELECT doc_id, source,
+        |  CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':graft-mix'),
+        |        1, 8)) AS BIGINT) % 1000 AS bucket,
+        |  CASE WHEN source = 'src0' THEN 250
+        |       WHEN source = 'src1' THEN 500
+        |       WHEN source = 'src2' THEN 0
+        |       ELSE 800 END AS rate_permille
+        |  FROM documents)
+        |SELECT doc_id, source, bucket, CAST(rate_permille AS INT) AS rate_permille,
+        |  bucket < rate_permille AS keep_mix
         |FROM b""".stripMargin,
     "q20_dedup_ngram" -> ngramOracleSql,
     "q27_kg_edges_pruned" -> pruningOracleSql,

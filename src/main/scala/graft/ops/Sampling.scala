@@ -61,6 +61,41 @@ object Sampling {
     docs.filter(permilleBucket(col(idCol), salt) < permille)
   }
 
+  /** Deterministic domain-mixture resampling — the Pile/DoReMi-style
+    * reweighting step: accept each document with a per-source permille
+    * rate (downsampling over-represented domains toward a target mix) as
+    * a pure function of (id, source) — stable across reruns, reshuffles,
+    * and parallelism, where `df.sample` is not. Sources absent from
+    * `ratesPermille` use `defaultPermille`. Emits the permille `bucket`,
+    * the applied `rate_permille`, and `keep_mix` instead of filtering, so
+    * the decision is auditable and re-cuttable downstream.
+    *
+    * The rates map compiles into a codegen'd CASE chain — appropriate
+    * for config-sized mixes (tens to hundreds of domains, the real-world
+    * shape); a corpus-derived million-row rate TABLE should broadcast-join
+    * instead (see [[graft.ops.Curation.capPerSource]] for that shape).
+    * Zero shuffle: one narrow projection over the scan.
+    */
+  def resampleSources(
+      docs: DataFrame,
+      ratesPermille: Map[String, Int],
+      defaultPermille: Int = 1000,
+      idCol: String = "doc_id",
+      sourceCol: String = "source",
+      salt: String = "graft-mix"
+  ): DataFrame = {
+    require((defaultPermille +: ratesPermille.values.toSeq)
+      .forall(p => p >= 0 && p <= 1000), "rates must be permille in [0, 1000]")
+    // sorted fold so the CASE chain (and thus the plan) is deterministic
+    val rate = ratesPermille.toSeq.sortBy(_._1).foldLeft(lit(defaultPermille)) {
+      case (acc, (src, p)) => when(col(sourceCol) === src, lit(p)).otherwise(acc)
+    }
+    docs
+      .withColumn("bucket", permilleBucket(col(idCol), salt))
+      .withColumn("rate_permille", rate)
+      .withColumn("keep_mix", col("bucket") < col("rate_permille"))
+  }
+
   /** Pack documents into shards targeting `tokenBudget` tokens
     * (training-data sequence sharding). A single global greedy pack is a
     * one-task sequential fold — scale-hostile — so packing runs WITHIN

@@ -30,6 +30,7 @@ import org.apache.spark.sql.functions._
   *   CorpusCli gopher-quality <docs.parquet> <out>   (Gopher table-A1 doc gate)
   *   CorpusCli gopher-repetition <docs.parquet> <out> (dup line/para fractions)
   *   CorpusCli dedup-paragraphs <docs.parquet> <out>  (keep first occurrence)
+  *   CorpusCli resample-mix   <docs.parquet> <out> [src=permille,...] [defaultPermille]
   *
   * Every command is a straight mapping onto one `graft.ops` operator, so
   * the CLI adds no semantics — it only binds IO.
@@ -136,6 +137,18 @@ object CorpusCli {
         val Seq(in, out) = args.slice(1, 3)
         summary("dedup-paragraphs", out,
           write(Curation.dedupParagraphs(spark.read.parquet(in)), out))
+
+      case "resample-mix" =>
+        val Seq(in, out) = args.slice(1, 3)
+        val rates =
+          if (args.length > 3 && args(3).nonEmpty)
+            args(3).split(",").map { kv =>
+              val Array(k, v) = kv.split("="); k -> v.toInt
+            }.toMap
+          else Map.empty[String, Int]
+        val dflt = if (args.length > 4) args(4).toInt else 1000
+        summary("resample-mix", out,
+          write(Sampling.resampleSources(spark.read.parquet(in), rates, dflt), out))
 
       case "dedup-incremental" =>
         // <warehouse> <batchId> <batch.parquet> <out> [minEstJaccard]

@@ -189,4 +189,16 @@ class CorpusCliSuite extends SparkFunSuite {
       .select("n_parts", "n_kept").as[(Int, Int)].collect()
     assert(kept.forall { case (p, k) => p == 1 && k == 1 })
   }
+
+  test("resample-mix command applies per-source permille rates") {
+    // fixture docs lack a source column — write one with sources
+    Seq((0L, "a"), (1L, "a"), (2L, "b"), (3L, "b"))
+      .toDF("doc_id", "source").write.mode("overwrite").parquet(s"$dir/mix-in")
+    val out = CorpusCli.run(Seq("resample-mix", s"$dir/mix-in", s"$dir/mix",
+      "a=0,b=1000"), spark)
+    assert(out.head.contains("\"rows\":4"), out.head)
+    val keep = spark.read.parquet(s"$dir/mix")
+      .filter($"keep_mix").select("doc_id").as[Long].collect().toSet
+    assert(keep == Set(2L, 3L))
+  }
 }

@@ -275,6 +275,12 @@ class PlanQualitySuite extends SparkFunSuite {
     assert(plan.contains("graft_simhash_sig"), plan.take(2000))
   }
 
+  test("q72 resample mix: UDF-free narrow projection, zero exchanges") {
+    val plan = planOf(SparkEntry.queries("q72_resample_mix")(spark, dir))
+    assert(!plan.contains("Exchange"), "resampling must not shuffle")
+    assert(!plan.contains("ScalaUDF"), "resampling must stay codegen'd")
+  }
+
   test("C4 / Gopher gates are UDF-free zero-exchange scan pipelines with pruned reads") {
     val docs = spark.read.parquet(s"$dir/documents.parquet")
     for ((name, df) <- Seq(

@@ -1,6 +1,6 @@
 package graft
 
-import graft.ops.{Curation, Dedup, IncrementalDedup}
+import graft.ops.{Curation, Dedup, IncrementalDedup, Sampling}
 import graft.query.{Service, SessionIndex, VectorIndex, VectorMigrate}
 import graft.store.SnapshotStore
 import org.apache.spark.sql.functions._
@@ -413,5 +413,21 @@ class Round5Suite extends SparkFunSuite {
     assert(out(1L).getString(3) == "header\n\nbody one\n\nbody two")
     assert(out(2L).getInt(1) == 1 && out(2L).getString(3) == "only paragraph")
     assert(out(3L).getInt(1) == 0 && out(3L).getString(3) == "")
+  }
+
+  test("resampleSources: rate-0 drops all, rate-1000 keeps all, stable under repartition") {
+    val docs = (0L until 400L).map(i => (i, s"src${i % 4}"))
+      .toDF("doc_id", "source")
+    val rates = Map("src0" -> 0, "src1" -> 1000, "src2" -> 500)
+    def keepSet(df: org.apache.spark.sql.DataFrame): Set[Long] =
+      Sampling.resampleSources(df, rates, defaultPermille = 800)
+        .filter(col("keep_mix")).select("doc_id").as[Long].collect().toSet
+    val kept = keepSet(docs)
+    assert(!kept.exists(_ % 4 == 0))                  // src0: rate 0
+    assert((1L until 400L by 4).forall(kept.contains)) // src1: rate 1000
+    val src2Kept = kept.count(_ % 4 == 2)
+    assert(src2Kept > 20 && src2Kept < 80)            // src2: ~half of 100
+    // pure function of the row: identical keep set at any partitioning
+    assert(keepSet(docs.repartition(7)) == kept)
   }
 }
