@@ -1251,7 +1251,7 @@ object SparkEntry {
         |         ELSE '' END) AS text
         |  FROM documents),
         |l AS (SELECT doc_id, text,
-        |    list_filter(string_split(text, chr(10)),
+        |    list_filter(regexp_split_to_array(text, '\r?\n'),
         |      x -> length(trim(x)) > 0) AS lines
         |  FROM e),
         |k AS (SELECT doc_id, text, lines,
@@ -1278,7 +1278,7 @@ object SparkEntry {
         |w AS (SELECT doc_id, text,
         |    CASE WHEN length(trim(text)) = 0 THEN []
         |         ELSE regexp_split_to_array(trim(text), '\s+') END AS ws,
-        |    list_filter(string_split(text, chr(10)),
+        |    list_filter(regexp_split_to_array(text, '\r?\n'),
         |      x -> length(trim(x)) > 0) AS lines
         |  FROM e),
         |c AS (SELECT doc_id, len(ws) AS n_words,
@@ -1336,10 +1336,11 @@ object SparkEntry {
         |         ELSE '' END) AS text
         |  FROM documents),
         |a AS (SELECT doc_id,
-        |    list_filter(list_transform(string_split(text, chr(10)),
+        |    list_filter(list_transform(
+        |      regexp_split_to_array(text, '\r?\n'),
         |      x -> trim(x)), x -> length(x) > 0) AS lines,
         |    list_filter(list_transform(
-        |      string_split(text, chr(10)||chr(10)),
+        |      regexp_split_to_array(text, '\r?\n\r?\n'),
         |      x -> trim(x)), x -> length(x) > 0) AS paras
         |  FROM e),
         |c AS (SELECT doc_id,
@@ -1390,7 +1391,7 @@ object SparkEntry {
         |  FROM documents),
         |a AS (SELECT doc_id,
         |    list_filter(list_transform(
-        |      string_split(text, chr(10)||chr(10)),
+        |      regexp_split_to_array(text, '\r?\n\r?\n'),
         |      x -> trim(x)), x -> length(x) > 0) AS parts
         |  FROM e),
         |k AS (SELECT doc_id, parts,

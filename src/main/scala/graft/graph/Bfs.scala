@@ -22,14 +22,20 @@ object Bfs {
     // shuffle width sized from the directed edge count (und ≤ 2×edges —
     // a safe upper bound that lets the und distinct itself run INSIDE the
     // scoped window; round 4 built und at session width first, paying a
-    // 32-task distinct + checkpoint before the window opened)
-    val edgeRows = edges.count()
+    // 32-task distinct + checkpoint before the window opened).
+    // edges is checkpointed BEFORE the count so the upstream plan (often
+    // an expensive pruned-edge pipeline) materializes exactly once — a
+    // bare count() would evaluate it for the width and then again when
+    // und is built.
+    val edgesCk = edges
+      .select(col("source_id"), col("target_id")).localCheckpoint()
+    val edgeRows = edgesCk.count()
     graft.core.Loops.withShuffleWidth(spark, 2L * edgeRows) {
     // localCheckpoint: truncate the upstream plan once so each depth's join
     // plans against a leaf instead of re-optimizing the full pipeline tree.
-    val und = edges
+    val und = edgesCk
       .select(col("source_id").as("src"), col("target_id").as("dst"))
-      .union(edges.select(col("target_id").as("src"), col("source_id").as("dst")))
+      .union(edgesCk.select(col("target_id").as("src"), col("source_id").as("dst")))
       .distinct()
       .localCheckpoint()
     var best = seeds.select(col("id")).distinct().withColumn("score", lit(1.0))

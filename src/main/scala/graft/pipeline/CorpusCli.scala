@@ -212,7 +212,9 @@ object CorpusCli {
           s"unknown command '$other' " +
             "(dedup-exact|dedup-clusters|decontaminate|split|pack|quality|" +
             "curate|source-cap|ann|redact|dedup-incremental|dedup-replay|" +
-            "decontaminate-ngram|substring-dup|substring-dedup|curate-stream)")
+            "decontaminate-ngram|substring-dup|substring-dedup|curate-stream|" +
+            "c4-clean|gopher-quality|gopher-repetition|dedup-paragraphs|" +
+            "resample-mix)")
     }
   }
 

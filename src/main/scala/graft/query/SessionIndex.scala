@@ -43,6 +43,13 @@ final class SessionIndex(store: SnapshotStore,
   private val lastActive =
     scala.collection.concurrent.TrieMap.empty[String, Long]
 
+  // per-JVM message sequence: chunk ids must be unique PER MESSAGE, not
+  // per (session, role) — Chunkers.chunkId hashes (sourceId, idx,
+  // text.take(64)), so without a message discriminator two messages
+  // opening with the same 64 chars would collide and the second upsert
+  // would silently overwrite the first message's vectors
+  private val msgSeq = new java.util.concurrent.atomic.AtomicLong(0L)
+
   final case class MessageIngestResult(
       sessionId: String, chunks: Int, concepts: Int, edges: Int)
 
@@ -54,7 +61,8 @@ final class SessionIndex(store: SnapshotStore,
     if (text == null || text.trim.isEmpty)
       return MessageIngestResult(sessionId, 0, 0, 0)
     val safeRole = if (ValidRoles.contains(role)) role else "unknown"
-    val chunks = Chunkers.sentenceBoundary(text, sourceId = s"$sessionId:$safeRole")
+    val chunks = Chunkers.sentenceBoundary(text,
+      sourceId = s"$sessionId:$safeRole:m${msgSeq.getAndIncrement()}")
     if (chunks.nonEmpty) {
       val rows = chunks.map(c =>
         (s"$sessionId:${c.id}", sessionId, safeRole, c.text,
@@ -78,6 +86,12 @@ final class SessionIndex(store: SnapshotStore,
     else Seq.empty[(String, String, String, String)]
       .toDF("id", "session_id", "role", "text")
 
+  // a brand-new store has no committed index table — a first-query-
+  // before-first-message call order must return empty, not sys.error
+  private def indexFrame: DataFrame =
+    if (store.exists(indexTable)) index.read()
+    else Seq.empty[(String, Seq[Float])].toDF("id", "embedding")
+
   /** Session-scoped retrieval: cosine top-k over THIS session's chunks
     * only. The id prefix is the scope — no other session's vectors are
     * scanned past the resolve filter. Returns (id, role, text, score).
@@ -86,13 +100,17 @@ final class SessionIndex(store: SnapshotStore,
       nowMillis: Long = 0L): DataFrame = {
     lastActive.put(sessionId, nowMillis)
     val q = graft.core.Embeddings.embed(context)
-    val scoped = index.read().filter(col("id").startsWith(sessionId + ":"))
+    val scoped = indexFrame.filter(col("id").startsWith(sessionId + ":"))
     scoped
       .select(col("id"),
         graft.ops.Similarity.cosineUdf(col("embedding"), typedLit(q.toSeq)).as("score"))
       .orderBy(col("score").desc, col("id").asc)
       .limit(math.max(1, topK))
-      .join(chunksFrame.select("id", "role", "text"), Seq("id"), "left")
+      // dropDuplicates guards the top-k contract: the chunk table is
+      // append-only, so a crash-replayed ingest could hold two rows per
+      // id — joining them AFTER the limit would fan results past topK
+      .join(chunksFrame.select("id", "role", "text").dropDuplicates("id"),
+        Seq("id"), "left")
       .select("id", "role", "text", "score")
       .orderBy(col("score").desc, col("id").asc)
   }
@@ -104,9 +122,9 @@ final class SessionIndex(store: SnapshotStore,
     * without its rows, forget its activity entry.
     */
   def expire(sessionId: String): Unit = {
-    val ids = index.read().filter(col("id").startsWith(sessionId + ":"))
+    val ids = indexFrame.filter(col("id").startsWith(sessionId + ":"))
       .select("id")
-    index.remove(ids)
+    if (store.exists(indexTable)) index.remove(ids)
     if (store.exists(chunkTable))
       store.commitReplace(chunkTable,
         chunksFrame.filter(col("session_id") =!= sessionId), Seq.empty)

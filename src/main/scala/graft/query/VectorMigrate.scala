@@ -62,6 +62,20 @@ object VectorMigrate {
       s"vec.migrate: transform changed the vector count " +
         s"($vectorsRead read, $outCount after transform) — a migration " +
         "must carry every vector; filter before migrating instead")
+    // the documented contract is id-SET preservation, not just count:
+    // a transform that collides two ids while keeping the row count
+    // would otherwise pass every check (upsert dedups silently) and
+    // over-report vectorsWritten
+    val rekeyed = out.select("id")
+      .join(resolved.select("id"), Seq("id"), "left_anti").count()
+    require(rekeyed == 0,
+      s"vec.migrate: transform re-keyed $rekeyed id(s) not present in " +
+        "the source — a migration must preserve the id set")
+    val distinctIds = out.select("id").distinct().count()
+    require(distinctIds == outCount,
+      s"vec.migrate: transform produced duplicate ids " +
+        s"($outCount rows, $distinctIds distinct) — the destination " +
+        "upsert would silently collapse them")
 
     var written = 0L
     if (!dryRun) {

@@ -430,4 +430,74 @@ class Round5Suite extends SparkFunSuite {
     // pure function of the row: identical keep set at any partitioning
     assert(keepSet(docs.repartition(7)) == kept)
   }
+
+  test("text gates are CRLF-tolerant (crawled HTML is often \\r\\n)") {
+    val crlf = "This is a good sentence with enough words here.\r\n" +
+      "Another quality sentence ends with punctuation mark!\r\n" +
+      "A third full sentence survives the line filter today."
+    val c4 = Curation.c4LineClean(Seq((1L, crlf)).toDF("doc_id", "text"))
+      .collect().head
+    // a literal-\n split would leave trailing \r on every line and fail
+    // the terminal-punctuation anchor → n_kept 0; CRLF must keep all 3
+    assert(c4.getInt(1) == 3 && c4.getInt(2) == 3 && c4.getBoolean(3))
+    assert(!c4.getString(4).contains("\r"))
+
+    val rep = Curation.gopherRepetition(
+      Seq((1L, "alpha beta\r\ngamma delta\r\nalpha beta\r\n\r\nomega end"))
+        .toDF("doc_id", "text")).collect().head
+    assert(rep.getInt(1) == 4 && rep.getInt(2) == 3)   // dup line seen
+    assert(rep.getInt(5) == 2)                          // two paragraphs
+
+    val dp = Curation.dedupParagraphs(
+      Seq((1L, "header\r\n\r\nbody\r\n\r\nheader")).toDF("doc_id", "text"))
+      .collect().head
+    assert(dp.getInt(1) == 3 && dp.getInt(2) == 2)
+    assert(dp.getString(3) == "header\n\nbody")
+  }
+
+  test("VectorMigrate rejects a transform that collides or re-keys ids") {
+    val wh = java.nio.file.Files.createTempDirectory("graft-migrate-dup").toString
+    val store = new SnapshotStore(wh)
+    val src = new VectorIndex(store, "vi_src2")
+    val dst = new VectorIndex(store, "vi_dst2")
+    src.upsert(Seq(("a", vecOf(1)), ("b", vecOf(2)))
+      .toDF("id", "embedding")
+      .withColumn("embedding", col("embedding").cast("array<float>")))
+    // id collision: same row count, one destination vector silently lost
+    val collide = intercept[IllegalArgumentException] {
+      VectorMigrate.migrate(src, dst,
+        transform = df => df.withColumn("id", lit("a")))
+    }
+    assert(collide.getMessage.contains("duplicate ids") ||
+      collide.getMessage.contains("re-keyed"))
+    // re-key to ids outside the source set
+    val rekey = intercept[IllegalArgumentException] {
+      VectorMigrate.migrate(src, dst,
+        transform = df => df.withColumn("id", concat(col("id"), lit("-x"))))
+    }
+    assert(rekey.getMessage.contains("re-keyed"))
+    assert(dst.count() == 0) // nothing written by either failed migration
+  }
+
+  test("session messages sharing a 64-char prefix keep distinct vectors") {
+    val wh = java.nio.file.Files.createTempDirectory("graft-sess-prefix").toString
+    val si = new SessionIndex(new SnapshotStore(wh))
+    // chunkId hashes (sourceId, idx, text.take(64)) — these two messages
+    // agree on their first 64 chars, so without the per-message sequence
+    // in sourceId the second upsert would overwrite the first
+    val p = "Please summarize the following document carefully and completely today: "
+    si.ingestMessage(p + "alpha body", "sx", nowMillis = 1L)
+    si.ingestMessage(p + "omega body", "sx", nowMillis = 2L)
+    assert(si.index.read().filter(col("id").startsWith("sx:")).count() == 2)
+    val texts = si.search("sx", p, topK = 5).select("text")
+      .as[String].collect().toSet
+    assert(texts.exists(_.contains("alpha")) && texts.exists(_.contains("omega")))
+  }
+
+  test("session search and expire on a fresh store are empty no-ops, not errors") {
+    val wh = java.nio.file.Files.createTempDirectory("graft-sess-empty").toString
+    val si = new SessionIndex(new SnapshotStore(wh))
+    assert(si.search("nobody", "anything").count() == 0)
+    si.expire("nobody") // must not throw on a never-committed index
+  }
 }
