@@ -61,8 +61,12 @@ final class SessionIndex(store: SnapshotStore,
     if (text == null || text.trim.isEmpty)
       return MessageIngestResult(sessionId, 0, 0, 0)
     val safeRole = if (ValidRoles.contains(role)) role else "unknown"
+    // discriminator = in-JVM sequence + injected clock: the sequence
+    // separates messages within a process, the clock separates processes
+    // (a restarted gateway would otherwise reuse m0 and overwrite the
+    // session's earlier committed chunks)
     val chunks = Chunkers.sentenceBoundary(text,
-      sourceId = s"$sessionId:$safeRole:m${msgSeq.getAndIncrement()}")
+      sourceId = s"$sessionId:$safeRole:m${msgSeq.getAndIncrement()}@$nowMillis")
     if (chunks.nonEmpty) {
       val rows = chunks.map(c =>
         (s"$sessionId:${c.id}", sessionId, safeRole, c.text,
