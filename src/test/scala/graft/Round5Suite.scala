@@ -494,6 +494,10 @@ class Round5Suite extends SparkFunSuite {
     assert(texts.exists(_.contains("alpha")) && texts.exists(_.contains("omega")))
   }
 
+  test("SparkEntry.entry (driver smoke surface) returns triples") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+
   test("session search and expire on a fresh store are empty no-ops, not errors") {
     val wh = java.nio.file.Files.createTempDirectory("graft-sess-empty").toString
     val si = new SessionIndex(new SnapshotStore(wh))
