@@ -55,9 +55,11 @@ object Bench {
     // band (BASELINE.md) otherwise dominates round-over-round reads.
     val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt
     // optional comma-separated query subset — local dev only (the driver
-    // sets no filter and measures everything)
+    // sets no filter and measures everything); names trimmed so
+    // "q30, q31" doesn't silently match nothing
     val only: Option[Set[String]] =
-      sys.env.get("SPARK_GRAFT_BENCH_ONLY").map(_.split(",").toSet)
+      sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+        .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     val errors = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
     val results = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(_.contains(name)) }
@@ -128,8 +130,13 @@ object Bench {
         s""","retrieval_eval":$evalJson,$annRecall,"errors":$errJson}"""
     println(json)
     // machine-readable copy — sbt prefixes stdout with [info], which breaks
-    // the driver's JSON parse of the log tail
-    val out = java.nio.file.Paths.get("BENCH/last_run.json")
+    // the driver's JSON parse of the log tail. A FILTERED run must not
+    // overwrite the committed full-run evidence with a subset that is
+    // indistinguishable from a complete measurement — it writes a
+    // clearly-named sidecar instead.
+    val outName =
+      if (only.isEmpty) "BENCH/last_run.json" else "BENCH/last_subset_run.json"
+    val out = java.nio.file.Paths.get(outName)
     java.nio.file.Files.createDirectories(out.getParent)
     java.nio.file.Files.writeString(out, json + "\n")
     spark.stop()

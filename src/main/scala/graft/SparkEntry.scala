@@ -1251,7 +1251,7 @@ object SparkEntry {
         |         ELSE '' END) AS text
         |  FROM documents),
         |l AS (SELECT doc_id, text,
-        |    list_filter(regexp_split_to_array(text, '\r?\n'),
+        |    list_filter(string_split(replace(text, chr(13)||chr(10), chr(10)), chr(10)),
         |      x -> length(trim(x)) > 0) AS lines
         |  FROM e),
         |k AS (SELECT doc_id, text, lines,
@@ -1278,7 +1278,7 @@ object SparkEntry {
         |w AS (SELECT doc_id, text,
         |    CASE WHEN length(trim(text)) = 0 THEN []
         |         ELSE regexp_split_to_array(trim(text), '\s+') END AS ws,
-        |    list_filter(regexp_split_to_array(text, '\r?\n'),
+        |    list_filter(string_split(replace(text, chr(13)||chr(10), chr(10)), chr(10)),
         |      x -> length(trim(x)) > 0) AS lines
         |  FROM e),
         |c AS (SELECT doc_id, len(ws) AS n_words,
@@ -1337,10 +1337,11 @@ object SparkEntry {
         |  FROM documents),
         |a AS (SELECT doc_id,
         |    list_filter(list_transform(
-        |      regexp_split_to_array(text, '\r?\n'),
+        |      string_split(replace(text, chr(13)||chr(10), chr(10)), chr(10)),
         |      x -> trim(x)), x -> length(x) > 0) AS lines,
         |    list_filter(list_transform(
-        |      regexp_split_to_array(text, '\r?\n\r?\n'),
+        |      string_split(replace(text, chr(13)||chr(10), chr(10)),
+        |      chr(10)||chr(10)),
         |      x -> trim(x)), x -> length(x) > 0) AS paras
         |  FROM e),
         |c AS (SELECT doc_id,
@@ -1391,7 +1392,8 @@ object SparkEntry {
         |  FROM documents),
         |a AS (SELECT doc_id,
         |    list_filter(list_transform(
-        |      regexp_split_to_array(text, '\r?\n\r?\n'),
+        |      string_split(replace(text, chr(13)||chr(10), chr(10)),
+        |      chr(10)||chr(10)),
         |      x -> trim(x)), x -> length(x) > 0) AS parts
         |  FROM e),
         |k AS (SELECT doc_id, parts,

@@ -398,10 +398,12 @@ object Curation {
     * no `{`, no "lorem ipsum" (case-insensitive), and at least
     * `minKeptLines` lines survived. Blank lines are ignored entirely —
     * neither counted nor kept — so both engines agree regardless of how
-    * the line source pads. Lines split on `\r?\n` (crawled HTML is very
-    * often CRLF; a literal-`\n` split would leave every line ending in
-    * `\r`, fail the terminal-punctuation anchor, and reject the whole
-    * corpus).
+    * the line source pads. CRLF is normalized to `\n` up front (crawled
+    * HTML is very often CRLF; a literal-`\n` split would leave every
+    * line ending in `\r`, fail the terminal-punctuation anchor, and
+    * reject the whole corpus — and normalizing, rather than splitting on
+    * `\r?\n`, also makes mixed-ending duplicate content compare equal in
+    * the sibling repetition/dedup ops).
     *
     * Pure per-document array/regexp expressions: no UDF, no shuffle —
     * the whole gate scan-pipelines under whole-stage codegen and column
@@ -409,9 +411,15 @@ object Curation {
     * read, not as a stage). Output: `(doc_id, n_lines, n_kept_lines,
     * keep_page, clean_text)`; clean_text rejoins kept lines with `\n`.
     */
+  /** CRLF → LF, applied before any line/paragraph split in this package
+    * so line structure AND content equality are ending-insensitive.
+    */
+  private def normEol(text: Column): Column =
+    replace(text, lit("\r\n"), lit("\n"))
+
   def c4LineClean(docs: DataFrame, minLineWords: Int = 5,
       minKeptLines: Int = 3, idCol: String = "doc_id"): DataFrame = {
-    val lines = filter(split(col("text"), "\r?\n"),
+    val lines = filter(split(normEol(col("text")), "\n"),
       l => length(trim(l)) > 0)
     val kept = filter(lines, l =>
       trim(l).rlike("[.!?\"]$") &&
@@ -459,7 +467,8 @@ object Curation {
     val nDots = (length(col("text")) -
       length(replace(col("text"), lit("..."), lit("")))) / 3 +
       (length(col("text")) - length(replace(col("text"), lit("…"), lit(""))))
-    val lines = filter(split(col("text"), "\r?\n"), l => length(trim(l)) > 0)
+    val lines = filter(split(normEol(col("text")), "\n"),
+      l => length(trim(l)) > 0)
     val nLines = size(lines)
     val nBullet = size(filter(lines, l =>
       trim(l).startsWith("- ") || trim(l).startsWith("• ") ||
@@ -502,9 +511,10 @@ object Curation {
     * fraction of duplicate LINES and duplicate PARAGRAPHS, each measured
     * two ways — by occurrence count and by character mass (a page whose
     * one duplicated line is 90 % of its bytes is worse than one that
-    * repeats a 3-char bullet). Lines split on `\r?\n`, paragraphs on
-    * `\r?\n\r?\n` (CRLF-tolerant — crawled text); both trimmed, blanks
-    * dropped, compared exactly.
+    * repeats a 3-char bullet). CRLF normalizes to LF first, then lines
+    * split on `\n`, paragraphs on `\n\n`; both trimmed, blanks dropped,
+    * compared exactly — so a paragraph duplicated once with CRLF and
+    * once with LF still counts as a duplicate.
     *
     * The duplicate character mass needs no per-key counting: each copy
     * beyond the first contributes its own length, so
@@ -521,8 +531,8 @@ object Curation {
       maxDupLineFrac: Double = 0.3, maxDupLineCharFrac: Double = 0.2,
       maxDupParaFrac: Double = 0.3, maxDupParaCharFrac: Double = 0.2,
       idCol: String = "doc_id"): DataFrame = {
-    def items(sepRegex: String): Column =
-      filter(transform(split(col("text"), sepRegex), x => trim(x)),
+    def items(sep: String): Column =
+      filter(transform(split(normEol(col("text")), sep), x => trim(x)),
         x => length(x) > 0)
     def frac(num: Column, den: Column): Column =
       when(den === 0, 0.0).otherwise(num.cast("double") / den.cast("double"))
@@ -536,8 +546,7 @@ object Curation {
         frac(m - dm, m).as(s"dup_${pfx.dropRight(1)}_char_frac"))
     }
     docs.select(col(idCol).as("doc_id") +:
-        (stats(items("\r?\n"), "lines") ++
-          stats(items("\r?\n\r?\n"), "paras")): _*)
+        (stats(items("\n"), "lines") ++ stats(items("\n\n"), "paras")): _*)
       .withColumn("repetition_pass",
         col("dup_line_frac") <= maxDupLineFrac &&
           col("dup_line_char_frac") <= maxDupLineCharFrac &&
@@ -549,11 +558,12 @@ object Curation {
     * [[gopherRepetition]]'s filters: rewrite each document keeping only
     * the FIRST occurrence of every repeated paragraph (boilerplate
     * banners, repeated footers, generation loops), preserving original
-    * order. Paragraphs split on `\r?\n\r?\n` (CRLF-tolerant), trimmed,
-    * blanks dropped; kept paragraphs rejoin with `\n\n` (the rewrite
-    * normalizes paragraph breaks — the split is a regex, the join is a
-    * literal, so a caller-supplied separator would be a regex/literal
-    * trap; the break convention is therefore fixed).
+    * order. CRLF normalizes to LF first (so a paragraph duplicated with
+    * mixed line endings still matches its twin), then paragraphs split
+    * on `\n\n`, trimmed, blanks dropped; kept paragraphs rejoin with
+    * `\n\n` — the rewrite normalizes line endings and paragraph breaks
+    * by design, which is why there is no separator parameter (a
+    * caller-supplied regex-split/literal-join pair would be a trap).
     *
     * First-occurrence selection is a pure array expression —
     * `array_position(parts, x) == i+1` inside a higher-order filter —
@@ -565,7 +575,7 @@ object Curation {
   def dedupParagraphs(docs: DataFrame,
       idCol: String = "doc_id"): DataFrame = {
     val parts = filter(
-      transform(split(col("text"), "\r?\n\r?\n"), x => trim(x)),
+      transform(split(normEol(col("text")), "\n\n"), x => trim(x)),
       x => length(x) > 0)
     docs.select(col(idCol).as("doc_id"), parts.as("__parts"))
       .select(col("doc_id"),

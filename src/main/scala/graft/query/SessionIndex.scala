@@ -43,12 +43,17 @@ final class SessionIndex(store: SnapshotStore,
   private val lastActive =
     scala.collection.concurrent.TrieMap.empty[String, Long]
 
-  // per-JVM message sequence: chunk ids must be unique PER MESSAGE, not
-  // per (session, role) — Chunkers.chunkId hashes (sourceId, idx,
-  // text.take(64)), so without a message discriminator two messages
-  // opening with the same 64 chars would collide and the second upsert
-  // would silently overwrite the first message's vectors
-  private val msgSeq = new java.util.concurrent.atomic.AtomicLong(0L)
+  // Chunk ids must be unique PER MESSAGE, not per (session, role):
+  // Chunkers.chunkId hashes (sourceId, idx, text.take(64)), so without a
+  // message discriminator two messages opening with the same 64 chars
+  // would collide and the second upsert would silently overwrite the
+  // first message's vectors. The discriminator is the sha256 of the FULL
+  // message text — content-addressed, so it is deterministic across
+  // processes AND replay-idempotent: a crash-retry of the same message
+  // re-mints the same ids and the upsert self-heals (a counter or clock
+  // here would orphan the first attempt's vectors). Consequence: a
+  // byte-identical repeated message indexes as one memory, which is the
+  // reference's content-addressed behavior too.
 
   final case class MessageIngestResult(
       sessionId: String, chunks: Int, concepts: Int, edges: Int)
@@ -61,12 +66,9 @@ final class SessionIndex(store: SnapshotStore,
     if (text == null || text.trim.isEmpty)
       return MessageIngestResult(sessionId, 0, 0, 0)
     val safeRole = if (ValidRoles.contains(role)) role else "unknown"
-    // discriminator = in-JVM sequence + injected clock: the sequence
-    // separates messages within a process, the clock separates processes
-    // (a restarted gateway would otherwise reuse m0 and overwrite the
-    // session's earlier committed chunks)
+    val msgHash = graft.core.TextSpec.sha256Hex(text).take(16)
     val chunks = Chunkers.sentenceBoundary(text,
-      sourceId = s"$sessionId:$safeRole:m${msgSeq.getAndIncrement()}@$nowMillis")
+      sourceId = s"$sessionId:$safeRole:$msgHash")
     if (chunks.nonEmpty) {
       val rows = chunks.map(c =>
         (s"$sessionId:${c.id}", sessionId, safeRole, c.text,

@@ -65,13 +65,19 @@ object VectorMigrate {
     // the documented contract is id-SET preservation, not just count:
     // a transform that collides two ids while keeping the row count
     // would otherwise pass every check (upsert dedups silently) and
-    // over-report vectorsWritten
-    val rekeyed = out.select("id")
-      .join(resolved.select("id"), Seq("id"), "left_anti").count()
+    // over-report vectorsWritten. Distinct count + re-key count come
+    // from ONE aggregation job over the checkpointed frame.
+    val idStats = out.select("id")
+      .join(resolved.select(col("id"), lit(1).as("__src")), Seq("id"), "left")
+      .agg(countDistinct("id").as("d"),
+        // coalesce: sum over an EMPTY out frame is null, not 0
+        coalesce(sum(when(col("__src").isNull, 1L).otherwise(0L)), lit(0L))
+          .as("rk"))
+      .collect().head
+    val (distinctIds, rekeyed) = (idStats.getLong(0), idStats.getLong(1))
     require(rekeyed == 0,
       s"vec.migrate: transform re-keyed $rekeyed id(s) not present in " +
         "the source — a migration must preserve the id set")
-    val distinctIds = out.select("id").distinct().count()
     require(distinctIds == outCount,
       s"vec.migrate: transform produced duplicate ids " +
         s"($outCount rows, $distinctIds distinct) — the destination " +

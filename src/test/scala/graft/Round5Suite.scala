@@ -453,6 +453,19 @@ class Round5Suite extends SparkFunSuite {
       .collect().head
     assert(dp.getInt(1) == 3 && dp.getInt(2) == 2)
     assert(dp.getString(3) == "header\n\nbody")
+
+    // MIXED endings: the same multi-line paragraph duplicated once with
+    // CRLF and once with LF must still compare equal (endings are
+    // normalized before the split, not just tolerated at split points)
+    val mixed = Curation.dedupParagraphs(
+      Seq((1L, "line1\r\nline2\n\nline1\nline2")).toDF("doc_id", "text"))
+      .collect().head
+    assert(mixed.getInt(1) == 2 && mixed.getInt(2) == 1)
+    assert(mixed.getString(3) == "line1\nline2")
+    val mixedRep = Curation.gopherRepetition(
+      Seq((1L, "line1\r\nline2\n\nline1\nline2")).toDF("doc_id", "text"))
+      .collect().head
+    assert(mixedRep.getInt(5) == 2 && mixedRep.getInt(6) == 1)
   }
 
   test("VectorMigrate rejects a transform that collides or re-keys ids") {
