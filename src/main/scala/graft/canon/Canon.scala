@@ -80,13 +80,19 @@ object Canon {
       blockCap: Long = 1000L
   )(implicit spark: SparkSession): DataFrame = {
     val tokUdf = udf((n: String) => TextSpec.tokenize(n).toSeq.sorted)
-    val withToks = concepts.select(col("id"), tokUdf(col("name")).as("__toks"))
+    // checkpoint the exploded token-block frame: it feeds the block-size
+    // aggregation AND both sides of the within-block self-join — without
+    // the checkpoint the tokenize UDF + explode re-run once per consumer
+    // (4× over the concept table)
+    val blocked = concepts.select(col("id"), tokUdf(col("name")).as("__toks"))
       .filter(size(col("__toks")) > 0)
-    val blocked = withToks.withColumn("__block", explode(col("__toks")))
+      .withColumn("__block", explode(col("__toks")))
+      .localCheckpoint()
     val blockSizes = blocked.groupBy("__block").agg(count(lit(1)).as("__bn"))
     val pruned = blocked
       .join(blockSizes.filter(col("__bn") <= blockCap), Seq("__block"))
       .select(col("__block"), col("id"), col("__toks"))
+      .localCheckpoint()
 
     val a = pruned.select(col("__block"), col("id").as("id_a"), col("__toks").as("__ta"))
     val b = pruned.select(col("__block"), col("id").as("id_b"), col("__toks").as("__tb"))
@@ -165,11 +171,17 @@ object Canon {
   )(implicit spark: SparkSession): (DataFrame, Int, Boolean) = {
     val srcCol = pairs.columns(0)
     val dstCol = pairs.columns(1)
+    // materialize the pair plan ONCE before mirroring it: the undirected
+    // union would otherwise embed (and compute) the full upstream pair
+    // derivation twice — for q50/q62 that upstream is the banded LSH
+    // candidate join, the dominant cost of the whole operator
+    val p = pairs
+      .select(col(srcCol).as("src"), col(dstCol).as("dst"))
+      .localCheckpoint()
     // undirected, deduped edge list — both directions so one join propagates
     // labels both ways
-    val edges = pairs
-      .select(col(srcCol).as("src"), col(dstCol).as("dst"))
-      .union(pairs.select(col(dstCol).as("src"), col(srcCol).as("dst")))
+    val edges = p
+      .union(p.select(col("dst").as("src"), col("src").as("dst")))
       .distinct()
       // localCheckpoint (not persist): truncates the upstream plan so each
       // label-propagation round plans against a leaf, not the full pipeline.
@@ -199,12 +211,13 @@ object Canon {
         .groupBy("id")
         .agg(min("label").as("new_label"))
 
-      val joined = labels.join(newLabels, Seq("id"))
-      val next = joined
-        .select(col("id"), col("new_label").as("label"))
-        .localCheckpoint() // checkpointed frontier: truncate lineage each round
+      // ONE materialization per round: checkpoint the (label, new_label)
+      // join itself, then derive both the changed-count and the next
+      // frontier from that leaf — the previous shape ran the whole
+      // join+union+groupBy a second time just to count changes
+      val joined = labels.join(newLabels, Seq("id")).localCheckpoint()
       changed = joined.filter(col("new_label") =!= col("label")).count()
-      labels = next
+      labels = joined.select(col("id"), col("new_label").as("label"))
       iter += 1
       if (verbose)
         System.err.println(

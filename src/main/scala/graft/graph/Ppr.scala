@@ -2,7 +2,6 @@ package graft.graph
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.storage.StorageLevel
 
 /** Personalized PageRank as iterative DataFrame joins — the query-side
   * graph algorithm of the reference (G1), distributed.
@@ -60,22 +59,29 @@ object Ppr {
       maxIter: Int = 100,
       minScore: Double = 1e-8
   )(implicit spark: SparkSession): DataFrame = {
-    // undirected weighted adjacency with per-source normalization
-    val und = edges
-      .select(col("source_id").as("src"), col("target_id").as("dst"),
-        col("confidence").cast("double").as("w"))
-      .union(edges.select(col("target_id").as("src"), col("source_id").as("dst"),
-        col("confidence").cast("double").as("w")))
-    val outW = und.groupBy("src").agg(sum("w").as("wout"))
-    // localCheckpoint (NOT persist): persist caches the *data* but keeps the
-    // full upstream logical plan attached to every derived frame, so each
-    // loop block pays Catalyst re-analysis/optimization of the whole
-    // extraction→linking→pruning tree (measured: 754 s for 25 iterations on
-    // a 1.5k-node graph). Checkpointing truncates the plan to a leaf.
-    val adj0 = und.join(outW, Seq("src"))
-      .select(col("src"), col("dst"), (col("w") / col("wout")).as("p"))
-      .localCheckpoint()
-    runAdj(adj0, seeds, damping, tol, maxIter, minScore)
+    // measure the graph BEFORE building the adjacency so the build itself
+    // runs at the loop's scoped shuffle width — the previous shape built
+    // adj0 at the session width and then paid an extra repartition +
+    // checkpoint job to narrow it (guide §2.4: one exchange, not two)
+    val nEdges = edges.count()
+    graft.core.Loops.withShuffleWidth(spark, 2L * nEdges) {
+      // undirected weighted adjacency with per-source normalization
+      val und = edges
+        .select(col("source_id").as("src"), col("target_id").as("dst"),
+          col("confidence").cast("double").as("w"))
+        .union(edges.select(col("target_id").as("src"), col("source_id").as("dst"),
+          col("confidence").cast("double").as("w")))
+      val outW = und.groupBy("src").agg(sum("w").as("wout"))
+      // localCheckpoint (NOT persist): persist caches the *data* but keeps the
+      // full upstream logical plan attached to every derived frame, so each
+      // loop block pays Catalyst re-analysis/optimization of the whole
+      // extraction→linking→pruning tree (measured: 754 s for 25 iterations on
+      // a 1.5k-node graph). Checkpointing truncates the plan to a leaf.
+      val adj0 = und.join(outW, Seq("src"))
+        .select(col("src"), col("dst"), (col("w") / col("wout")).as("p"))
+        .localCheckpoint()
+      runAdj(adj0, seeds, damping, tol, maxIter, minScore)
+    }
   }
 
   /** Run from a prepared graph plus per-query extra edges (the online
@@ -100,19 +106,25 @@ object Ppr {
         col("confidence").cast("double").as("w")))
       .localCheckpoint()
     val nExtra = extraUnd.count()
-    val (und, outW) =
-      if (nExtra == 0L) (graph.und, graph.outW)
-      else {
-        val delta = extraUnd.groupBy("src").agg(sum("w").as("__dw"))
-        val merged = graph.outW.join(delta, Seq("src"), "full_outer")
-          .select(col("src"),
-            (coalesce(col("wout"), lit(0.0)) + coalesce(col("__dw"), lit(0.0))).as("wout"))
-        (graph.und.unionByName(extraUnd), merged)
-      }
-    val adj0 = und.join(outW, Seq("src"))
-      .select(col("src"), col("dst"), (col("w") / col("wout")).as("p"))
-      .localCheckpoint()
-    runAdj(adj0, seeds, damping, tol, maxIter, minScore)
+    // size the scoped width from the prepared graph (a checkpointed leaf —
+    // counting it is one cheap job) so the merged-adjacency build below
+    // runs at loop width instead of session width + a narrowing repartition
+    val totalRows = graph.und.count() + nExtra // extraUnd already holds both directions
+    graft.core.Loops.withShuffleWidth(spark, totalRows) {
+      val (und, outW) =
+        if (nExtra == 0L) (graph.und, graph.outW)
+        else {
+          val delta = extraUnd.groupBy("src").agg(sum("w").as("__dw"))
+          val merged = graph.outW.join(delta, Seq("src"), "full_outer")
+            .select(col("src"),
+              (coalesce(col("wout"), lit(0.0)) + coalesce(col("__dw"), lit(0.0))).as("wout"))
+          (graph.und.unionByName(extraUnd), merged)
+        }
+      val adj0 = und.join(outW, Seq("src"))
+        .select(col("src"), col("dst"), (col("w") / col("wout")).as("p"))
+        .localCheckpoint()
+      runAdj(adj0, seeds, damping, tol, maxIter, minScore)
+    }
   }
 
   private def runAdj(
@@ -143,11 +155,12 @@ object Ppr {
     // node set = edge endpoints ∪ seed ids: the reference's InMemory PPR
     // personalizes over ALL graph nodes (memory.py:304-315), so a seed with
     // no edges must still receive (1−d)·pers mass each iteration instead of
-    // silently dropping to rank 0.
+    // silently dropping to rank 0. No persist: the only consumer is the
+    // checkpointed `pers` build below (the uniform fallback recomputes it
+    // once for its count — a branch no bench/query path takes).
     val nodes = adj.select(col("src").as("id"))
       .unionByName(seeds.select(col("id")))
       .distinct()
-      .persist(StorageLevel.MEMORY_AND_DISK)
 
     // normalized personalization over the node set (uniform fallback —
     // memory.py:304-315)
@@ -181,7 +194,16 @@ object Ppr {
             lit(1.0 - damping) * col("pers")).as("rank"))
     }
 
-    var ranks = persisted.select(col("id"), col("pers").as("rank")).localCheckpoint()
+    // tol ≤ 0 ⇒ the convergence probe can only stop the loop early when a
+    // block's delta is EXACTLY 0.0 — and a zero delta means ranks are at a
+    // double-exact fixed point, so the remaining iterations reproduce them
+    // bit-for-bit. Skipping the probe therefore yields identical results
+    // while saving one join+agg job per block (q29 runs fixed 25
+    // iterations with tol = 0: five convergence jobs were pure overhead).
+    val checkConvergence = tol > 0.0
+    // ranks₀ is a projection of the checkpointed personalization leaf — no
+    // checkpoint job needed for it
+    var ranks = persisted.select(col("id"), col("pers").as("rank"))
     var iter = 0
     var delta = Double.MaxValue
     while (delta > tol && iter < maxIter) {
@@ -189,14 +211,15 @@ object Ppr {
       var next = ranks
       for (_ <- 0 until n) next = step(next)
       next = next.localCheckpoint()
-      delta = next
-        .join(ranks.withColumnRenamed("rank", "prev"), Seq("id"))
-        .agg(sum(abs(col("rank") - col("prev"))))
-        .collect()(0).getDouble(0)
+      if (checkConvergence)
+        delta = next
+          .join(ranks.withColumnRenamed("rank", "prev"), Seq("id"))
+          .agg(sum(abs(col("rank") - col("prev"))))
+          .collect()(0).getDouble(0)
       ranks = next
       iter += n
     }
-    adj.unpersist(); nodes.unpersist(); persisted.unpersist()
+    adj.unpersist()
     ranks.filter(col("rank") > minScore)
     }
   }

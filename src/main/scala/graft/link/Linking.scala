@@ -88,7 +88,13 @@ object Linking {
           lit(extractorVersion).as("extractor_version"),
           col("__w.illustrates").as("__illustrates"))
 
-    val base = aggregate(gen)
+    // Materialize the generalizable aggregation ONCE: `base` feeds the
+    // examples join AND both orphan anti-joins (via baseKeys) — un-
+    // checkpointed, the groupBy + per-concept embedding UDF re-ran once
+    // per consumer (3× over the full mention stream; measured as the
+    // dominant cost of buildConcepts at 20k pages). The frame is
+    // concept-cardinality (small), so the materialization is cheap.
+    val base = aggregate(gen).localCheckpoint()
 
     // pass 2a: examples attach to parents by lower(illustrates). The
     // reference appends every occurrence (base.py:196-204); at web scale a

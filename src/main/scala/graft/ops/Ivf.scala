@@ -110,10 +110,15 @@ object Ivf {
     import spark.implicits._
     // id keeps its natural type — "the k lowest-id vectors" must hold
     // for string ids (VectorIndex) as well as numeric ones (a cast to
-    // long would null string ids and scramble the deterministic init)
+    // long would null string ids and scramble the deterministic init).
+    // Checkpointed: the init sort plus every Lloyd iteration is a full
+    // pass over this frame — without it each of the 6+ passes re-reads
+    // and re-decodes the source parquet (guide §5: reuse justifies the
+    // materialization; values are unchanged so centroids are identical).
     val vecs = corpus
       .select(col(idCol).as("id"), col(vecCol).as("v"))
       .filter(col("v").isNotNull && size(col("v")) > 0)
+      .localCheckpoint()
     val init = vecs.orderBy(col("id")).limit(k).select("v").as[Seq[Float]].collect()
     require(init.nonEmpty, "IVF training corpus is empty")
     val dim = init.head.length

@@ -70,11 +70,14 @@ final class SessionIndex(store: SnapshotStore,
     val chunks = Chunkers.sentenceBoundary(text,
       sourceId = s"$sessionId:$safeRole:$msgHash")
     if (chunks.nonEmpty) {
+      // no checkpoint: `chunks` is a driver-local Seq, so this is a
+      // LocalRelation — both consumers (index upsert + chunk table) read
+      // the literal rows at zero recompute cost, and the checkpoint's
+      // materialization job was pure overhead per message
       val rows = chunks.map(c =>
         (s"$sessionId:${c.id}", sessionId, safeRole, c.text,
           graft.core.Embeddings.embed(c.text).toSeq))
         .toDF("id", "session_id", "role", "text", "embedding")
-        .localCheckpoint() // two consumers: the index upsert + the chunk table
       index.upsert(rows.select(col("id"),
         col("embedding").cast("array<float>").as("embedding")))
       store.commitAppend(chunkTable,
