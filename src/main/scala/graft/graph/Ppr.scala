@@ -181,6 +181,9 @@ object Ppr {
     // convergence check. Per-iteration eager checkpoints + delta counts
     // would cost ~3 driver jobs per iteration — at 25+ iterations that is
     // pure scheduling overhead dominating small/medium graphs.
+    // measured: larger blocks for the fixed-iteration case (13 → 2 jobs)
+    // LOSE — the deeper Catalyst plan costs more per materialization than
+    // the saved job round-trips; 5 is the sweet spot on both paths
     val blockSize = 5
     def step(ranks: DataFrame): DataFrame = {
       val contrib = adj

@@ -72,15 +72,36 @@ object Similarity {
   private def planeComponent(p: Int, d: Int): Double =
     (graft.functions.SplitMix64.mix(p.toLong * 0x9e37L ^ d.toLong) >>> 11).toDouble / (1L << 52).toDouble - 1.0
 
+  /** Plane matrix memo: the signature kernels previously re-derived every
+    * plane component (one SplitMix64 mix + float ops) PER ROW — ~10⁹ mix
+    * calls per corpus pass at 64 planes × 384 dims. The matrix is a pure
+    * function of (p, d), so caching it once per JVM (64 × 1024 doubles =
+    * 512 KB) yields bit-identical signatures; indices past the cache fall
+    * back to the direct computation.
+    */
+  private val MaxCachedPlanes = 64
+  private val MaxCachedDim = 1024
+  private lazy val planeCache: Array[Array[Double]] =
+    Array.tabulate(MaxCachedPlanes, MaxCachedDim)((p, d) => planeComponent(p, d))
+
+  @inline private def planeDot(p: Int, v: Seq[Float]): Double = {
+    val n = v.length
+    var dot = 0.0; var d = 0
+    if (p < MaxCachedPlanes) {
+      val row = planeCache(p)
+      val m = math.min(n, MaxCachedDim)
+      while (d < m) { dot += v(d) * row(d); d += 1 }
+    }
+    while (d < n) { dot += v(d) * planeComponent(p, d); d += 1 }
+    dot
+  }
+
   def signatureOf(v: Seq[Float], planes: Int): Int = {
     if (v == null || v.isEmpty) return 0
     var sig = 0
     var p = 0
     while (p < planes) {
-      var dot = 0.0; var d = 0
-      val n = v.length
-      while (d < n) { dot += v(d) * planeComponent(p, d); d += 1 }
-      if (dot >= 0) sig |= (1 << p)
+      if (planeDot(p, v) >= 0) sig |= (1 << p)
       p += 1
     }
     sig
@@ -107,10 +128,7 @@ object Similarity {
         var sig = 0
         var k = 0
         while (k < BandBits) {
-          var dot = 0.0; var d = 0
-          val n = v.length
-          while (d < n) { dot += v(d) * planeComponent(b * BandBits + k, d); d += 1 }
-          if (dot >= 0) sig |= (1 << k)
+          if (planeDot(b * BandBits + k, v) >= 0) sig |= (1 << k)
           k += 1
         }
         sig

@@ -318,16 +318,26 @@ object Ingest {
     timed(cfg, "commit edges") { store.commitReplace("edges", edgesCanon, allParts) }
     timed(cfg, "commit canon_map") { store.commitReplace("canon_map", canonMap, allParts) }
 
+    // Downstream consumers read the COMMITTED concepts/edges back instead
+    // of re-planning the canonicalization joins: the conceptsCanon /
+    // edgesCanon plans above (two canon-map joins + the dedup window over
+    // the full edge set) would otherwise recompute once per consumer —
+    // canonConceptNames feeds rules AND code examples, and derivedRules
+    // re-consumed edgesCanon. The committed parquet is byte-identical to
+    // the frames just written, so values are unchanged.
+    val conceptsCommitted = store.read("concepts")
+    val edgesCommitted = store.read("edges")
+
     // rules: explicit (normative sentences, E9) + derived (one per unique
     // canonical edge pair, flat.py invariant)
-    val canonConceptNames = conceptsCanon
+    val canonConceptNames = conceptsCommitted
       .groupBy(col("canonical_id").as("id"))
       .agg(min(col("name")).as("name"))
     val explicit = graft.rules.Rules.explicitRules(
       ruleSentencesOf(staged), canonConceptNames, cfg.domain)(spark)
       .withColumn("template_id", lit("")).withColumn("severity", lit(""))
     val derived = graft.rules.Rules.derivedRules(
-      edgesCanon.select("source_id", "target_id", "relation_type", "confidence"),
+      edgesCommitted.select("source_id", "target_id", "relation_type", "confidence"),
       canonConceptNames, cfg.domain)(spark)
       .withColumn("source_id", lit(null).cast("string"))
       .select("id", "text", "domain", "source_id", "concept_ids", "category", "confidence",

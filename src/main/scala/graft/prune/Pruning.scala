@@ -178,6 +178,12 @@ object Pruning {
         out.iterator
       }
       .toDF(outSchema.fieldNames.toIndexedSeq: _*)
+      // materialize the P0–P4 stage ONCE: it feeds the P5 degree
+      // aggregation AND the main edge stream below, and the groupByKey +
+      // per-group sweep closure is the operator's dominant compute —
+      // without the checkpoint both consumers re-run it (the shuffle is
+      // exchange-reused but the flatMapGroups itself is not)
+      .localCheckpoint()
 
     // P5: isolated weak — degrees over current survivors
     val degrees = tagged14

@@ -50,14 +50,30 @@ object VectorMigrate {
     val vectorsRead = resolved.count()
     val out = transform(resolved).localCheckpoint()
 
-    val dims = out.select(size(col("embedding")).as("d")).distinct()
-      .limit(2).collect().map(_.getInt(0)).toSeq
-    require(dims.size <= 1,
-      s"vec.migrate: mixed embedding dimensions (saw ${dims.mkString(", ")}, …)")
-    val dim = dims.headOption.getOrElse(0)
-    expectDim.foreach(e => require(dims.isEmpty || dim == e,
+    // ONE aggregation job over the checkpointed frame answers every
+    // validation probe: row count, the dimension range (min==max ⇔ one
+    // shared dimension — replaces the separate limit(2)-distinct scan),
+    // distinct-id count, and the re-key count. The checks below fire in
+    // the same order as before, so failure modes are unchanged.
+    val stats = out
+      .join(resolved.select(col("id"), lit(1).as("__src")), Seq("id"), "left")
+      .agg(count(lit(1)).as("n"),
+        min(size(col("embedding"))).as("dmin"),
+        max(size(col("embedding"))).as("dmax"),
+        countDistinct("id").as("d"),
+        // coalesce: sum over an EMPTY out frame is null, not 0
+        coalesce(sum(when(col("__src").isNull, 1L).otherwise(0L)), lit(0L))
+          .as("rk"))
+      .collect().head
+    val (dmin, dmax) =
+      (if (stats.isNullAt(1)) 0 else stats.getInt(1),
+        if (stats.isNullAt(2)) 0 else stats.getInt(2))
+    require(dmin == dmax,
+      s"vec.migrate: mixed embedding dimensions (saw $dmin..$dmax)")
+    val dim = dmax
+    expectDim.foreach(e => require(stats.getLong(0) == 0L || dim == e,
       s"vec.migrate: embedding dimension $dim != expected $e"))
-    val outCount = out.count()
+    val outCount = stats.getLong(0)
     require(outCount == vectorsRead,
       s"vec.migrate: transform changed the vector count " +
         s"($vectorsRead read, $outCount after transform) — a migration " +
@@ -65,16 +81,8 @@ object VectorMigrate {
     // the documented contract is id-SET preservation, not just count:
     // a transform that collides two ids while keeping the row count
     // would otherwise pass every check (upsert dedups silently) and
-    // over-report vectorsWritten. Distinct count + re-key count come
-    // from ONE aggregation job over the checkpointed frame.
-    val idStats = out.select("id")
-      .join(resolved.select(col("id"), lit(1).as("__src")), Seq("id"), "left")
-      .agg(countDistinct("id").as("d"),
-        // coalesce: sum over an EMPTY out frame is null, not 0
-        coalesce(sum(when(col("__src").isNull, 1L).otherwise(0L)), lit(0L))
-          .as("rk"))
-      .collect().head
-    val (distinctIds, rekeyed) = (idStats.getLong(0), idStats.getLong(1))
+    // over-report vectorsWritten
+    val (distinctIds, rekeyed) = (stats.getLong(3), stats.getLong(4))
     require(rekeyed == 0,
       s"vec.migrate: transform re-keyed $rekeyed id(s) not present in " +
         "the source — a migration must preserve the id set")
