@@ -143,7 +143,12 @@ object CorpusCli {
         val rates =
           if (args.length > 3 && args(3).nonEmpty)
             args(3).split(",").map { kv =>
-              val Array(k, v) = kv.split("="); k -> v.toInt
+              kv.split("=") match {
+                case Array(k, v) if scala.util.Try(v.toInt).isSuccess =>
+                  k -> v.toInt
+                case _ => sys.error(
+                  s"resample-mix: malformed rate '$kv' — expected src=permille,...")
+              }
             }.toMap
           else Map.empty[String, Int]
         val dflt = if (args.length > 4) args(4).toInt else 1000

@@ -161,11 +161,15 @@ object Ingest {
     * the same equi-join linking rule as explicit rules.
     */
   def codeExamplesOf(extractions: DataFrame, concepts: DataFrame, domain: String): DataFrame = {
+    // checkpointed: the exploded block frame is both the link-join input
+    // and the left side of the final join — one nested-parquet decode
+    // instead of two (the frame is code-block-cardinality, small)
     val blocks = extractions
       .select(col("url"), posexplode(col("code_blocks")).as(Seq("idx", "b")))
       .select(col("url"), col("idx"), col("b.code").as("code"),
         col("b.language").as("language"), col("b.description").as("description"),
         col("b.is_antipattern").as("is_antipattern"), col("b.names").as("__names"))
+      .localCheckpoint()
     val dict = concepts.select(col("id").as("concept_id"), lower(col("name")).as("__n"))
     val linked = blocks
       .select(col("url"), col("idx"), explode(col("__names")).as("__n"))

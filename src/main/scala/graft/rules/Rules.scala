@@ -84,7 +84,10 @@ object Rules {
       concepts: DataFrame, // (id, name)
       domain: String
   )(implicit spark: SparkSession): DataFrame = {
-    val sentences = normativeSentences(pagesText)
+    // checkpoint: the distinct-sentence frame feeds BOTH the keyed join
+    // side and the mention detection below — without it the normative
+    // flatMap + witness groupBy run once per consumer
+    val sentences = normativeSentences(pagesText).localCheckpoint()
 
     // concept linking (ingest/base.py:300-306 validation semantics): detect
     // mention spans in the sentence, EQUI-join their lowercased names to the
