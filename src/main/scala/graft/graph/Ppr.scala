@@ -80,7 +80,10 @@ object Ppr {
       val adj0 = und.join(outW, Seq("src"))
         .select(col("src"), col("dst"), (col("w") / col("wout")).as("p"))
         .localCheckpoint()
-      runAdj(adj0, seeds, damping, tol, maxIter, minScore)
+      // adj0 rows = und rows exactly (the normalization join matches every
+      // row), so the measured edge count stands in for a re-count job
+      runAdj(adj0, seeds, damping, tol, maxIter, minScore,
+        rowsHint = Some(2L * nEdges))
     }
   }
 
@@ -123,7 +126,8 @@ object Ppr {
       val adj0 = und.join(outW, Seq("src"))
         .select(col("src"), col("dst"), (col("w") / col("wout")).as("p"))
         .localCheckpoint()
-      runAdj(adj0, seeds, damping, tol, maxIter, minScore)
+      runAdj(adj0, seeds, damping, tol, maxIter, minScore,
+        rowsHint = Some(totalRows))
     }
   }
 
@@ -133,7 +137,12 @@ object Ppr {
       damping: Double,
       tol: Double,
       maxIter: Int,
-      minScore: Double
+      minScore: Double,
+      /** Caller-measured adjacency row count (both builders already count
+        * the edges to scope the build width) — saves the re-count job; an
+        * over-estimate only widens the loop slightly.
+        */
+      rowsHint: Option[Long] = None
   )(implicit spark: SparkSession): DataFrame = {
     // right-size the loop's partitioning from the MEASURED adjacency: the
     // session's spark.sql.shuffle.partitions (sized for corpus-scale
@@ -141,7 +150,7 @@ object Ppr {
     // tasks on a small query graph; ~100k edges per partition keeps a
     // 10⁹-edge graph at real-cluster width while a 10³-edge retrieval
     // graph runs the whole loop in ONE task per stage.
-    val adjRows = adj0.count()
+    val adjRows = rowsHint.getOrElse(adj0.count())
     val parts = math.max(1, (adjRows / 100000L).toInt + 1)
     val adj =
       if (adj0.rdd.getNumPartitions <= parts) adj0
